@@ -1,0 +1,116 @@
+"""Shingle extraction — the reimplementation of the reference k-mer inner
+loop (all overlapping k-substrings, code/dedup2.py:135-139).
+
+Three interchangeable kernels:
+
+* :func:`char_shingles31` — JVM-side Column expression (portable md5-derived
+  hashes mod 2**31-1). O(n*k) but fully inside whole-stage codegen and
+  reproducible by the DuckDB oracle + pure-Python oracle. Default.
+* :func:`char_shingles64` — JVM-side xxhash64 variant (scale path when no
+  external oracle must reproduce values; 64-bit space).
+* :func:`char_shingles31_pandas` — Arrow-batched numpy rolling polynomial
+  hash, O(n) per document: the kernel for very long documents where O(n*k)
+  substring hashing dominates. Uses its own deterministic polynomial family
+  (mirrored by the Python oracle) — do not mix families within one run.
+
+All kernels emit the *distinct* shingle set (set semantics, matching the
+reference's set membership model, code/dedup2.py:142).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from genome_deduplication_spark.config import MERSENNE31
+
+_M61 = (1 << 61) - 1
+_POLY_BASE = 1315423911  # deterministic polynomial base for the numpy kernel
+
+
+def _positions(col: Column, k: int) -> Column:
+    # 1-based start positions of every k-window; empty when len(text) < k
+    return F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(k - 1), F.lit(0)))
+
+
+def char_shingles31(col: Column, k: int) -> Column:
+    """array<long> of distinct md5-derived shingle hashes mod 2**31-1."""
+    sh = F.transform(
+        _positions(col, k),
+        lambda i: F.conv(F.substring(F.md5(F.substring(col, i, k)), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(MERSENNE31),
+    )
+    return F.array_distinct(sh)
+
+
+def char_shingles64(col: Column, k: int) -> Column:
+    """array<long> of distinct xxhash64 shingle hashes (scale path)."""
+    sh = F.transform(_positions(col, k), lambda i: F.xxhash64(F.substring(col, i, k)))
+    return F.array_distinct(sh)
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """array<string> of distinct n-word shingles of normalized text."""
+    words = F.split(col, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(sh)
+
+
+def make_char_shingles31_pandas(k: int):
+    """Arrow-batched O(n) rolling-hash shingle kernel.
+
+    Polynomial rolling hash over UTF-8 bytes in the 2**61-1 Mersenne field,
+    reduced to 2**31-1 at the end. Matches
+    :func:`genome_deduplication_spark.oracle.poly_shingles_py`.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # precompute base^(k-1) mod M61
+        top = pow(_POLY_BASE, k - 1, _M61)
+        for series in it:
+            out = []
+            for s in series:
+                if s is None or len(s) < k:
+                    out.append([])
+                    continue
+                data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                n = len(data)
+                if n < k:
+                    out.append([])
+                    continue
+                # prefix hashes via cumulative Horner in object-free numpy:
+                # h[i] = (h[i-1]*B + byte[i]) mod M61 — sequential, so do the
+                # Horner fold with a python loop over k only (rolling update
+                # vectorized over positions instead).
+                vals = data.astype(np.uint64)
+                # initial window hash for every position computed by k
+                # vectorized shifts: H_j = sum(byte[j+i] * B^(k-1-i))
+                acc = np.zeros(n - k + 1, dtype=np.uint64)
+                power = np.uint64(1)
+                for i in range(k - 1, -1, -1):
+                    contrib = (vals[i : i + n - k + 1] * power) % np.uint64(_M61)
+                    acc = (acc + contrib) % np.uint64(_M61)
+                    power = np.uint64((int(power) * _POLY_BASE) % _M61)
+                h31 = (acc % np.uint64(MERSENNE31)).astype(np.int64)
+                out.append(np.unique(h31).tolist())
+            yield pd.Series(out)
+
+    return shingles_udf
+
+
+__all__ = [
+    "char_shingles31",
+    "char_shingles64",
+    "word_shingles",
+    "make_char_shingles31_pandas",
+]

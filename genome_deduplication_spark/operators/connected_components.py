@@ -1,0 +1,124 @@
+"""Connected components over duplicate-pair edges (large-star/small-star).
+
+Replaces the reference's sequential cross-file state threading — the global
+``seen_kmers`` set carried file to file makes dedup transitive across the
+corpus (code/dedup2.py:549-554). Set-wise, transitivity = connected
+components of the verified-pair graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) expressed as DataFrame
+joins; converges in O(log^2 n) rounds on adversarial chains, ~3-5 rounds on
+real dup clusters. Each round is two shuffles; lineage is cut with
+localCheckpoint every round so the plan does not grow (SURVEY.md §4 item 2).
+
+IDs are mapped to int64 (xxhash64 of the string id) for cheap shuffles; the
+final cluster id is the *minimum original key* (warc_ts, url struct ordering
+is applied by the caller through min-election, here minimum hashed id) —
+callers re-attach string ids by join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than min-neighbor to min(neigh ∪ self)."""
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    mins = (
+        und.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    # join neighbors v > u's min to m(u)
+    return (
+        und.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges toward smaller id, connect all smaller-or-equal neighbors
+    # of each node to the minimum
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        oriented.join(mins, "src")
+        .select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) int64 edge list -> (node, component) with component =
+    min node id of the component. Nodes appearing only as singletons are the
+    caller's concern (left join + coalesce to self)."""
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("dst"), F.greatest("src", "dst").alias("src")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        # one cheap job instead of two exceptAll passes: (count, hash-sum)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _large_star(cur).localCheckpoint(eager=True)
+        cur = _small_star(cur).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # after convergence every edge is (node -> component min)
+    comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # ensure component roots map to themselves
+    roots = comp.select(F.col("component").alias("node"),
+                        F.col("component").alias("component")).distinct()
+    return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def components_for_string_ids(edges: DataFrame, all_ids: DataFrame,
+                              id_col: str = "url") -> DataFrame:
+    """String-id edge list (id_a, id_b) + universe of ids -> (id, cluster_key)
+    where cluster_key is the lexicographically/structurally minimal member id
+    ... represented by the min xxhash-mapped node, then re-joined to strings.
+
+    To make the cluster id deterministic and meaningful we map back to the
+    minimum *string* id within each component (min over the original key).
+    """
+    ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+    node_map = ids.select("id", F.xxhash64("id").alias("node"))
+    e = (
+        edges.join(node_map.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("node", "src"), "id_a")
+        .join(node_map.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("node", "dst"), "id_b")
+        .select("src", "dst")
+    )
+    comp = connected_components(e)
+    labeled = node_map.join(comp, "node", "left").select(
+        "id", F.coalesce("component", "node").alias("component")
+    )
+    canon = labeled.groupBy("component").agg(F.min("id").alias("cluster_key"))
+    return labeled.join(canon, "component").select(
+        F.col("id").alias(id_col), "cluster_key"
+    )

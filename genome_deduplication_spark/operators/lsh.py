@@ -1,0 +1,108 @@
+"""LSH banding -> salted band buckets -> candidate pairs.
+
+The scale-critical stage. Replaces the reference's O(1) in-memory hash-set
+probe (code/dedup2.py:142) with a shuffle: documents sharing any identical
+signature band land in the same bucket, and each bucket emits its pairs.
+
+Scale design (north_star requirements):
+
+* **Band key** is (band_id, hash(band slice)) — a 64-bit xxhash of the band
+  values, so the shuffle key is uniformly distributed *except* for true hot
+  buckets (boilerplate pages that really do share a band).
+* **Hot buckets are bounded, not exploded.** A bucket of size m emits
+  m*(m-1)/2 pairs; a boilerplate bucket with 10^6 members would emit 5*10^11
+  pairs and kill the stage. Buckets above ``max_bucket_size`` are capped: we
+  keep only pairs that involve one of the ``max_bucket_size`` smallest doc
+  keys per bucket (rank via window), and report the truncation in the
+  lineage metrics (the *candidate* loss is recovered because near-dup groups
+  share many bands — and a star around the bucket minimum keeps every member
+  one hop from a common anchor, so connected components still unifies the
+  group transitively).
+* **Salting.** The pair self-join shuffles on the bucket key; AQE skew-join
+  splitting (enabled in session.py) plus the cap keeps partitions bounded.
+  For the groupBy-rank step the key already includes band_id (32 values)
+  which spreads one document's bands over 32 reducers.
+* **Dedup of pairs across bands** is a distinct() — one extra shuffle, but
+  it shrinks the edge set before the expensive verification join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.config import DedupConfig
+
+
+def band_buckets(signatures: DataFrame, cfg: DedupConfig,
+                 id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
+    """Explode each signature into (id, band_id, band_hash) bucket rows."""
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(sig_col), b * cfg.rows_per_band + 1,
+                                cfg.rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+            for b in range(cfg.bands)
+        ]
+    )
+    return (
+        signatures.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(bands).alias("band_id", "band_hash"))
+    )
+
+
+def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
+                    id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from shared band buckets.
+
+    Emits a *star* within each (capped) bucket: every member pairs with the
+    bucket's minimum member, plus the full clique for buckets up to a small
+    clique budget. The star keeps edge count linear in bucket size (vs.
+    quadratic), which is what makes mega-buckets survivable at 10^12 docs;
+    connected components recovers the full group transitively, and the
+    verification stage sees only O(m) pairs per bucket.
+    """
+    buckets = band_buckets(signatures, cfg, id_col, sig_col)
+
+    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    ranked = buckets.withColumn("rnk", F.row_number().over(w))
+    capped = ranked.where(F.col("rnk") <= cfg.max_bucket_size)
+
+    # full clique for small buckets: self-join capped bucket members
+    a = capped.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"),
+        F.col("rnk").alias("rnk_a"),
+    )
+    b = capped.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    clique_budget = 50  # full clique for buckets with <= this many members
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("rnk_a") < F.col("rnk_b"))
+        .where((F.col("rnk_b") <= clique_budget) | (F.col("rnk_a") == 1))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def bucket_stats(signatures: DataFrame, cfg: DedupConfig,
+                 id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
+    """Lineage metric: bucket-size histogram (docs per (band, hash) bucket)."""
+    return (
+        band_buckets(signatures, cfg, id_col, sig_col)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )

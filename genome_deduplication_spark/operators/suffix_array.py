@@ -1,0 +1,154 @@
+"""Exact long-common-substring pass over candidate pairs.
+
+The masked-region analogue (reference: duplicate k-mer positions become
+masked spans, code/dedup2.py:18,235-246): two documents that share one long
+verbatim substring are duplicates-in-part even when whole-document Jaccard
+is below threshold (a press release quoted inside distinct articles).
+
+Physical shape: the candidate pair list joins back to text ONCE
+(sort-merge join on id), then ``applyInPandas`` per bounded group runs an
+O(n log n) suffix-array (prefix-doubling, pure numpy) over the concatenation
+of the two docs and scans adjacent suffix pairs from different docs for the
+longest cross-document LCP. Group sizes are bounded by the LSH bucket caps,
+so no group explodes an executor.
+
+The same kernel, run on a single document against itself, finds internal
+repeats — the reference's internal-vs-global repeat discrimination
+(code/dedup2.py:177-195).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix array over an int array (O(n log^2 n))."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.argsort(data, kind="stable")
+    # initial ranks by value
+    key = data
+    order = np.argsort(key, kind="stable")
+    r = np.empty(n, dtype=np.int64)
+    r[order] = np.cumsum(np.concatenate(([0], (np.diff(key[order]) != 0).astype(np.int64))))
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = r[k:]
+        comp = r * (n + 1) + (key2 + 1)
+        order = np.argsort(comp, kind="stable")
+        newr = np.empty(n, dtype=np.int64)
+        newr[order] = np.cumsum(
+            np.concatenate(([0], (np.diff(comp[order]) != 0).astype(np.int64)))
+        )
+        if newr[order[-1]] == n - 1:
+            r = newr
+            break
+        r = newr
+        k *= 2
+    sa = np.empty(n, dtype=np.int64)
+    sa[r] = np.arange(n)
+    return sa
+
+
+def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai's algorithm: LCP of adjacent suffixes in SA order."""
+    n = len(data)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and data[i + h] == data[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Longest verbatim substring shared by a and b (suffix array + LCP)."""
+    if not a or not b:
+        return 0
+    xa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    xb = np.frombuffer(b.encode("utf-8"), dtype=np.int64 if False else np.uint8).astype(np.int64)
+    sep = np.array([256], dtype=np.int64)  # out-of-alphabet separator
+    data = np.concatenate([xa, sep, xb])
+    na = len(xa)
+    sa = suffix_array(data)
+    lcp = lcp_array(data, sa)
+    # adjacent suffixes from different docs
+    side = sa < na  # True = from a (separator position na belongs to neither)
+    from_a = sa < na
+    from_b = sa > na
+    best = 0
+    for i in range(1, len(sa)):
+        if (from_a[i] and from_b[i - 1]) or (from_b[i] and from_a[i - 1]):
+            if lcp[i] > best:
+                best = int(lcp[i])
+    return best
+
+
+def longest_self_repeat_len(a: str) -> int:
+    """Longest substring occurring >= twice within one document (max LCP)."""
+    if not a:
+        return 0
+    data = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    sa = suffix_array(data)
+    lcp = lcp_array(data, sa)
+    return int(lcp.max()) if len(lcp) else 0
+
+
+def exact_substring_pairs(
+    pairs: DataFrame,
+    pages: DataFrame,
+    min_len: int,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs -> those sharing a substring >= min_len.
+
+    Output: id_a, id_b, lcs_len, is_substring_dup.
+    """
+    texts = pages.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(texts.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed(text_col, "text_a"), "id_a")
+        .join(texts.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed(text_col, "text_b"), "id_b")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.StringType()),
+            T.StructField("id_b", T.StringType()),
+            T.StructField("lcs_len", T.LongType()),
+        ]
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = [
+            longest_common_substring_len(ta or "", tb or "")
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+        ]
+        return pd.DataFrame(
+            {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "lcs_len": lens}
+        )
+
+    # group by a hash bucket of the pair to bound group sizes and spread work
+    bucketed = joined.withColumn(
+        "_g", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(256))
+    )
+    out = bucketed.groupBy("_g").applyInPandas(_kernel, schema)
+    return out.withColumn("is_substring_dup", F.col("lcs_len") >= F.lit(min_len))
