@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
+driver's testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+Cross-engine value parity rests on the md5-derived 60-bit hash
+(functions/hashing.py) that Spark, DuckDB and pure Python compute
+identically, and on identical integer MinHash arithmetic mod 2**31-1.
+
+Operator-ID cross-references (SURVEY.md §2): each query's docstring names
+the reference operator(s) it exercises.
 """
 
 from __future__ import annotations
@@ -12,27 +15,592 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from genome_deduplication_spark.config import MERSENNE31, DedupConfig
+from genome_deduplication_spark.functions.hashing import (
+    hash60,
+    hash60_duckdb_sql,
+)
+from genome_deduplication_spark.functions.shingles import char_shingles31
+from genome_deduplication_spark.functions.text import normalize_text
+
+CFG = DedupConfig()
+K = CFG.shingle_k  # 9
+
+# --- portable SQL fragments (DuckDB side) -----------------------------------
+_NORM_DUCK = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _h60_duck(expr: str) -> str:
+    return hash60_duckdb_sql(expr)
+
+
+def _h31_duck(expr: str) -> str:
+    return f"({_h60_duck(expr)} % {MERSENNE31})"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h31(col):
+    return hash60(col) % F.lit(MERSENNE31)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clustering [D4, S3]: content-hash groupBy + min-id
+    canonical election (first-occurrence-wins, reference code/dedup2.py:420)."""
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", hash60(normalize_text(F.col("text"))).alias("content_hash")
+    )
+    canon = keyed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("cluster_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return keyed.join(canon, "content_hash").select(
+        "doc_id", "content_hash", "cluster_id", "cluster_size"
+    )
+
+
+def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (char-9 shingle) Jaccard near-dup pairs [D1, A3 pattern]:
+    inverted-index self-join, exact set Jaccard >= 0.2."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (first 16 perms) via the shuffle-with-map-side-
+    combine formulation [D1, P2, P4]: explode shingles, 16 min-aggregates of
+    (a*h+b) mod p — arithmetic identical to the pandas-UDF kernel."""
+    docs = _read(spark, sf_dir, "documents")
+    a, b = CFG.minhash_coefficients()
+    sh = docs.select(
+        "doc_id",
+        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+    )
+    aggs = [
+        F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % F.lit(MERSENNE31)).alias(
+            f"mh_{j}"
+        )
+        for j in range(16)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_masked_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-token masking + gaps-and-islands condensation
+    [D2, A1]: positions of tokens seen earlier in the doc, merged into
+    maximal [start, end) spans widened by 1 (reference condense_masked_regions
+    semantics, code/dedup2.py:235-246)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("ord"), "tok")
+    firsts = toks.groupBy("doc_id", "tok").agg(F.min("ord").alias("f"))
+    masked = (
+        toks.join(firsts, ["doc_id", "tok"])
+        .where(F.col("ord") > F.col("f"))
+        .select("doc_id", "ord")
+    )
+    w = W.partitionBy("doc_id").orderBy("ord")
+    flagged = masked.withColumn(
+        "flag",
+        F.when(F.col("ord") - F.lag("ord").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    )
+    isl = flagged.withColumn(
+        "island", F.sum("flag").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("ord").alias("span_start"), (F.max("ord") + 1).alias("span_end")
+    ).drop("island")
+
+
+def q_shingle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-frequency histogram [A3, S7]: the KMC k-mer count histogram
+    analogue (reference kmer_counter_dedup_files.sh)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h")
+    )
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return counts.groupBy("occ").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats [A4, A5]."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user [A6]: lag window + aggregation
+    (reference calculate_distance_between_dedups.sh semantics)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )
+
+
+def q_train_dev_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/dev split [R2]: dev iff hash60(doc_id) % 100 < 10 —
+    key-derived, partitioning-invariant (reference partition_samples.sh)."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(100))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 10, F.lit("dev")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def q_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sample-without-replacement of 50 docs [R1, R3]: order by
+    key-derived hash, take n (reference shuffle.py + get_control_lines)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", hash60(F.col("doc_id").cast("string")).alias("_o"))
+        .orderBy("_o")
+        .limit(50)
+        .select("doc_id")
+    )
+
+
+def q_word_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference [R6]: distinct tokens of 'en' docs absent from 'de'
+    docs (reference check_validity.py:74-77 symmetric-diff semantics)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    en = toks.where("lang = 'en'").select("tok").distinct()
+    de = toks.where("lang = 'de'").select("tok").distinct()
+    return en.join(de, "tok", "left_anti")
+
+
+def q_merged_ship_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval merge per supplier [R7, R8 pattern]: lineitem ship windows
+    [shipdate, shipdate+7d) merged when overlapping (reference
+    check_beds.sh:51-74 coverage-merge semantics)."""
+    li = _read(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.unix_timestamp("l_shipdate").alias("s"),
+        (F.unix_timestamp("l_shipdate") + F.lit(7 * 86400)).alias("e"),
+    ).distinct()  # tied duplicate intervals make island ids order-dependent
+    w = W.partitionBy("l_suppkey").orderBy("s", "e")
+    run = iv.withColumn(
+        "maxe", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "flag",
+        F.when(F.col("s") <= F.col("maxe"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    isl = run.withColumn(
+        "island", F.sum("flag").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return isl.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    ).drop("island")
+
+
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features [text-analysis]: whitespace tokens,
+    BPE-ish tokens, punct ratio, stopword ratio."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = F.split(norm, " ")
+    stop = F.array(*[F.lit(wd) for wd in ("the", "a", "of", "to", "and")])
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            (F.length(norm) - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", "")))
+            / F.greatest(F.length(norm), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("stop_ratio"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint [rolling-hash fingerprinting]:
+    min anchor shingle (hash % 32 == 0) per doc — the candidate index of the
+    exact-substring pass (operators/suffix_array.anchor_candidate_pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+    )
+    return (
+        sh.where(F.col("h") % 32 == 0)
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"), F.count(F.lit(1)).alias("n_anchors"))
+    )
+
+
+def q_embedding_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vectors [dedup over embeddings]: group by the raw
+    vector, min-id election."""
+    emb = _read(spark, sf_dir, "embeddings")
+    canon = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("cluster_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return emb.join(canon, "embedding").select("vec_id", "cluster_id", "cluster_size")
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors [similarity search] for query
+    vectors vec_id < 100; JVM-side F.aggregate/zip_with dot products."""
+    emb = _read(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = vec.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    q = norm.where("vec_id < 100").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = norm.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        q.join(c, F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 5).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 3")
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline [D1-D8]: MinHash/LSH/SimHash/substring/CC over
+    documents-as-pages. Non-SQL-expressible (pandas-UDF kernels + iterative
+    CC) — rows-only driver check; full differential testing lives in
+    tests/test_pipeline.py against the sequential oracle."""
+    from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    tables = dedup_pipeline(pages, CFG, run_dir=None, enable_substring_pass=False)
+    return tables["clusters"].select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "cluster_size",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "char_jaccard_pairs": q_char_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "masked_word_spans": q_masked_word_spans,
+        "shingle_histogram": q_shingle_histogram,
+        "summary_stats": q_summary_stats,
+        "event_gap_stats": q_event_gap_stats,
+        "train_dev_split": q_train_dev_split,
+        "sample_n": q_sample_n,
+        "word_set_difference": q_word_set_difference,
+        "merged_ship_intervals": q_merged_ship_intervals,
+        "token_quality": q_token_quality,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embedding_exact_dup": q_embedding_exact_dup,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "near_dup_clusters": q_near_dup_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; identical values by construction)
+# ---------------------------------------------------------------------------
+
+_NORM = _NORM_DUCK.format(c="text")
+
+_SHINGLES_CTE = f"""
+  nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+  pos AS (SELECT doc_id, s, unnest(range(1, greatest(len(s) - {K} + 2, 1))) AS i
+          FROM nrm),
+  sh AS (SELECT DISTINCT doc_id, {_h31_duck(f"substr(s, i, {K})")} AS h FROM pos)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    a, b = CFG.minhash_coefficients()
+    mh_cols = ",\n    ".join(
+        f"min(({a[j]} * h + {b[j]}) % {MERSENNE31}) AS mh_{j}" for j in range(16)
+    )
+    h60_docid = _h60_duck("CAST(doc_id AS VARCHAR)")
+    return {
+        "exact_dup_clusters": f"""
+            WITH keyed AS (
+              SELECT doc_id, {_h60_duck(_NORM)} AS content_hash FROM documents
+            ),
+            canon AS (
+              SELECT content_hash, min(doc_id) AS cluster_id,
+                     count(*) AS cluster_size
+              FROM keyed GROUP BY content_hash
+            )
+            SELECT k.doc_id, k.content_hash, c.cluster_id, c.cluster_size
+            FROM keyed k JOIN canon c USING (content_hash)
+        """,
+        "char_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(c * 1.0 / (na.n + nb.n - c), 6) >= 0.2
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id,
+    {mh_cols}
+            FROM sh GROUP BY doc_id
+        """,
+        "masked_word_spans": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(s, ' ')) AS tok,
+                     generate_subscripts(string_split(s, ' '), 1) AS ord
+              FROM nrm
+            ),
+            firsts AS (SELECT doc_id, tok, min(ord) AS f FROM toks GROUP BY 1, 2),
+            masked AS (
+              SELECT t.doc_id, t.ord FROM toks t
+              JOIN firsts f ON t.doc_id = f.doc_id AND t.tok = f.tok
+              WHERE t.ord > f.f
+            ),
+            flags AS (
+              SELECT doc_id, ord,
+                     CASE WHEN ord - lag(ord) OVER (PARTITION BY doc_id ORDER BY ord) = 1
+                          THEN 0 ELSE 1 END AS flag
+              FROM masked
+            ),
+            isl AS (
+              SELECT doc_id, ord,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY ord
+                                     ROWS UNBOUNDED PRECEDING) AS island
+              FROM flags
+            )
+            SELECT doc_id, min(ord) AS span_start, max(ord) + 1 AS span_end
+            FROM isl GROUP BY doc_id, island
+        """,
+        "shingle_histogram": f"""
+            WITH {_SHINGLES_CTE},
+            counts AS (SELECT h, count(*) AS occ FROM sh GROUP BY h)
+            SELECT occ, count(*) AS n_shingles FROM counts GROUP BY occ
+        """,
+        "summary_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts) AS gap
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   round(avg(gap), 4) AS avg_gap_s,
+                   max(gap) AS max_gap_s
+            FROM g GROUP BY user_id
+        """,
+        "train_dev_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {h60_docid} % 100 < 10
+                        THEN 'dev' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "sample_n": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id FROM documents
+              ORDER BY {h60_docid} LIMIT 50
+            )
+        """,
+        "word_set_difference": f"""
+            WITH nrm AS (SELECT lang, {_NORM} AS s FROM documents),
+            toks AS (SELECT lang, unnest(string_split(s, ' ')) AS tok FROM nrm)
+            SELECT DISTINCT tok FROM toks WHERE lang = 'en'
+            EXCEPT
+            SELECT DISTINCT tok FROM toks WHERE lang = 'de'
+        """,
+        "merged_ship_intervals": """
+            WITH iv AS (
+              SELECT DISTINCT l_suppkey, epoch(l_shipdate)::BIGINT AS s,
+                     epoch(l_shipdate)::BIGINT + 7 * 86400 AS e
+              FROM lineitem
+            ),
+            run AS (
+              SELECT l_suppkey, s, e,
+                     max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS maxe
+              FROM iv
+            ),
+            flags AS (
+              SELECT l_suppkey, s, e,
+                     CASE WHEN s <= maxe THEN 0 ELSE 1 END AS flag
+              FROM run
+            ),
+            isl AS (
+              SELECT l_suppkey, s, e,
+                     sum(flag) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+              FROM flags
+            )
+            SELECT l_suppkey, min(s) AS span_start, max(e) AS span_end
+            FROM isl GROUP BY l_suppkey, island
+        """,
+        "token_quality": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents)
+            SELECT doc_id,
+                   len(string_split(s, ' ')) AS n_tokens,
+                   len(regexp_extract_all(s, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+                   round((len(s) - len(regexp_replace(s, '[^a-z0-9 ]', '', 'g')))
+                         * 1.0 / greatest(len(s), 1), 6) AS punct_ratio,
+                   round(len(list_filter(string_split(s, ' '),
+                                         t -> list_contains(['the','a','of','to','and'], t)))
+                         * 1.0 / greatest(len(string_split(s, ' ')), 1), 6)
+                     AS stop_ratio
+            FROM nrm
+        """,
+        "doc_fingerprints": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id, min(h) AS fingerprint, count(*) AS n_anchors
+            FROM sh WHERE h % 32 = 0 GROUP BY doc_id
+        """,
+        "embedding_exact_dup": """
+            WITH canon AS (
+              SELECT embedding, min(vec_id) AS cluster_id,
+                     count(*) AS cluster_size
+              FROM embeddings GROUP BY embedding
+            )
+            SELECT e.vec_id, c.cluster_id, c.cluster_size
+            FROM embeddings e JOIN canon c ON e.embedding = c.embedding
+        """,
+        "embedding_cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS sim
+              FROM v q JOIN v c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 100
+            ),
+            ranked AS (
+              SELECT q_id, n_id, sim,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, n_id) AS rank
+              FROM scored
+            )
+            SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3
+        """,
+        # near_dup_clusters intentionally omitted: pandas-UDF MinHash + LSH +
+        # iterative connected components are not ANSI-SQL-expressible; the
+        # driver records the rows-only check and tests/test_pipeline.py holds
+        # the differential correctness evidence.
+    }
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: near-dup cluster table."""
+    return q_near_dup_clusters(spark, "/root/testdata/sf0.001")

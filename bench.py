@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+near-dup pipeline over a deterministic synthetic bench corpus
+(FIXTURES.md §5 — sized so the run is shuffle-bound, not startup-bound),
+and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline_docs": N, "pipeline_docs_per_sec": r}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_PIPELINE_DOCS  bench corpus target size (default 40000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_bench_corpus(spark, n_docs: int):
+    """Deterministic synthetic pages corpus, cached as parquet. Generated
+    directly in Spark (not driver-side python) so corpus build scales too:
+    seeds are a distributed range, text is derived per-seed with xxhash-based
+    word selection, and ~3% of docs are near-duplicate mutations of a base."""
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"pages_{n_docs}",
+    )
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return spark.read.parquet(cache)
+
+    from pyspark.sql import functions as F
+
+    from genome_deduplication_spark.fixtures.pages import _WORDS
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    n_base = int(n_docs * 0.97)
+    base = spark.range(n_base).select(
+        F.concat(F.lit("https://bench.example/"), F.col("id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("id").alias("seed"),
+    )
+    # ~120-word deterministic texts: word i = WORDS[xxhash64(seed, i) % |W|]
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(119)),
+            lambda i: F.element_at(
+                words, (F.pmod(F.xxhash64(F.col("seed"), i), F.size(words)) + 1).cast("int")
+            ),
+        ),
+    )
+    base = base.select(
+        "url", "warc_ts", text.alias("text"), F.lit("en").alias("lang")
+    )
+    # near-dup copies of the first (n_docs - n_base) base docs: mutate one
+    # word (position derived from seed) — Jaccard >> threshold
+    n_dup = n_docs - n_base
+    dups = spark.range(n_dup).select(
+        F.concat(F.lit("https://bench.example/dup/"), F.col("id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("id").alias("seed"),
+    )
+    dup_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(119)),
+            lambda i: F.when(
+                i == F.pmod(F.xxhash64(F.lit("mutpos"), F.col("seed")), F.lit(120)),
+                F.lit("mutatedword"),
+            ).otherwise(
+                F.element_at(
+                    words,
+                    (F.pmod(F.xxhash64(F.col("seed"), i), F.size(words)) + 1).cast("int"),
+                )
+            ),
+        ),
+    )
+    dups = dups.select(
+        "url", "warc_ts", dup_text.alias("text"), F.lit("en").alias("lang")
+    )
+    pages = base.unionByName(dups)
+    pages.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "40000"))
+
+    import __spark_entry__ as entrymod
+    from genome_deduplication_spark.config import DedupConfig
+    from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+    from genome_deduplication_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    timings: dict[str, float] = {}
+    headline = [
+        "exact_dup_clusters",
+        "char_jaccard_pairs",
+        "minhash_signatures",
+        "masked_word_spans",
+        "shingle_histogram",
+        "merged_ship_intervals",
+        "token_quality",
+        "embedding_cosine_topk",
+        "near_dup_clusters",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship pipeline at bench scale (the throughput metric)
+    pages = _build_bench_corpus(spark, n_docs)
+    pages = pages.localCheckpoint(eager=True)  # exclude gen cost from timing
+    n_pages = pages.count()
+    cfg = DedupConfig()
+    t0 = time.time()
+    tables = dedup_pipeline(pages, cfg, run_dir=None, enable_substring_pass=True)
+    n_clusters = tables["clusters"].count()
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["dedup_pipeline_bench"] = pipeline_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "pipeline_docs": n_pages,
+                "pipeline_clusters": n_clusters,
+                "pipeline_docs_per_sec": round(n_pages / pipeline_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Two-parallelism-level scaling run (the in-sandbox evidence for the
+north_rule's N -> 4N scaling-efficiency >= 0.8 criterion).
+
+Runs the flagship dedup pipeline on the SAME bench corpus at local[N] and
+local[4N] in separate JVMs (subprocesses, so executor thread pools are truly
+independent), reports throughput at both and efficiency
+(thr@4N / thr@N) / 4, and appends the table to BENCH.md.
+
+Usage: python bench_scaling.py [--low 8] [--high 32] [--docs 40000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+RUN_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from genome_deduplication_spark.config import DedupConfig
+from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+from genome_deduplication_spark.session import get_spark
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+sys.path.insert(0, os.path.dirname("/root/repo/"))
+import importlib
+bench = importlib.import_module("bench")
+pages = bench._build_bench_corpus(spark, n_docs).localCheckpoint(eager=True)
+n = pages.count()
+t0 = time.time()
+tables = dedup_pipeline(pages, DedupConfig(), run_dir=None)
+nc = tables["clusters"].count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({"cpus": cpus, "docs": n, "sec": round(dt, 3),
+                              "docs_per_sec": round(n / dt, 1),
+                              "clusters": nc}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int, docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET, str(cpus), str(docs)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"run at local[{cpus}] produced no RESULT; stderr tail: "
+        + out.stderr[-2000:]
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=40000)
+    args = ap.parse_args()
+
+    # warm the corpus cache once so neither run pays generation cost
+    run_low = run_once(args.low, args.docs)
+    run_high = run_once(args.high, args.docs)
+    ratio = args.high / args.low
+    eff = (run_high["docs_per_sec"] / run_low["docs_per_sec"]) / ratio
+    result = {
+        "low": run_low,
+        "high": run_high,
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = (
+        "\n## Scaling run (bench_scaling.py)\n\n"
+        f"Same corpus ({run_low['docs']} docs, deterministic seed), same job, "
+        "two independent JVMs:\n\n"
+        "| parallelism | wall (s) | docs/sec |\n|---|---|---|\n"
+        f"| local[{args.low}] | {run_low['sec']} | {run_low['docs_per_sec']} |\n"
+        f"| local[{args.high}] | {run_high['sec']} | {run_high['docs_per_sec']} |\n\n"
+        f"Scaling efficiency (thr@{args.high} / thr@{args.low}) / "
+        f"{ratio:g} = **{eff:.3f}** "
+        f"({'meets' if eff >= 0.8 else 'below'} the >= 0.8 target).\n"
+    )
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

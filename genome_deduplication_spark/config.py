@@ -39,7 +39,11 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_max_hamming: int = 8
     # suffix-array exact-substring pass: minimum shared-substring length
-    min_common_substring: int = 50
+    # (chars). Must exceed common boilerplate header/footer length or every
+    # templated site becomes one giant substring-dup cluster.
+    min_common_substring: int = 120
+    # substring candidates must share at least this many anchor shingles
+    min_shared_anchors: int = 2
     # stochastic retain: probability a duplicate pair is *dropped* from the
     # edge set anyway (reference: code/dedup2.py:150-151). 0.0 = off.
     retain_rate: float = 0.0

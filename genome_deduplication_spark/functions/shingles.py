@@ -34,8 +34,12 @@ _POLY_BASE = 1315423911  # deterministic polynomial base for the numpy kernel
 
 
 def _positions(col: Column, k: int) -> Column:
-    # 1-based start positions of every k-window; empty when len(text) < k
-    return F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(k - 1), F.lit(0)))
+    # 1-based start positions of every k-window; empty when len(text) < k.
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the
+    # short-text case must be handled explicitly, not via greatest().
+    return F.when(
+        F.length(col) >= k, F.sequence(F.lit(1), F.length(col) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def char_shingles31(col: Column, k: int) -> Column:
@@ -59,7 +63,9 @@ def word_shingles(col: Column, n: int) -> Column:
     """array<string> of distinct n-word shingles of normalized text."""
     words = F.split(col, " ")
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(-1))),
+        F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - F.lit(n))
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
     return F.array_distinct(sh)

@@ -58,6 +58,11 @@ def merge_intervals(
 ) -> DataFrame:
     """Merge overlapping/adjacent [start, end) intervals per key — the
     coverage-check primitive (reference check 5, check_beds.sh:51-74)."""
+    # dedupe identical intervals first: tied (start, end) rows with different
+    # running flags make the island cumulative sum order-dependent (ROWS
+    # frames have no deterministic order among ties), and merging is
+    # idempotent on duplicates anyway
+    spans = spans.select(key_col, start_col, end_col).distinct()
     w = Window.partitionBy(key_col).orderBy(start_col, end_col)
     run = spans.withColumn(
         "_max_end_so_far",

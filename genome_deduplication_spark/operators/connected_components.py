@@ -67,16 +67,21 @@ def connected_components(
     caller's concern (left join + coalesce to self)."""
     cur = (
         edges.select(
-            F.least("src", "dst").alias("dst"), F.greatest("src", "dst").alias("src")
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
         # one cheap job instead of two exceptAll passes: (count, hash-sum)
+        # pmod keeps each summand < 1e9 so the sum stays in int64 under ANSI
+        # mode up to ~9e9 edges
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("h"),
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 

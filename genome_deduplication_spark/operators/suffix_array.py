@@ -110,6 +110,59 @@ def longest_self_repeat_len(a: str) -> int:
     return int(lcp.max()) if len(lcp) else 0
 
 
+def anchor_candidate_pairs(
+    docs: DataFrame,
+    min_len: int,
+    shingle_k: int,
+    max_bucket_size: int = 200,
+    min_shared_anchors: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs for the exact-substring pass via anchor shingles.
+
+    The reference catches shared substrings because *every* k-mer enters one
+    global set (code/dedup2.py:142) — any overlap of length >= k collides.
+    At web scale indexing every shingle is the full inverted index; instead
+    we index only *anchor* shingles (hash % m == 0, winnowing-style
+    fingerprinting). A shared substring of length >= min_len contains
+    (min_len - k + 1) consecutive shingles, so with m = (min_len - k + 1) / 4
+    the expected number of shared anchors is ~4 and the miss probability
+    (1 - 1/m)^(min_len-k+1) ~ e^-4 < 2%. Deterministic — no rand().
+    """
+    from genome_deduplication_spark.functions.shingles import char_shingles31
+
+    window = max(min_len - shingle_k + 1, 1)
+    m = max(window // 4, 1)
+    anchors = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                char_shingles31(F.col(text_col), shingle_k),
+                lambda h: h % m == 0,
+            )
+        ).alias("anchor"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("anchor").orderBy(id_col)
+    ranked = anchors.withColumn("rnk", F.row_number().over(w))
+    capped = ranked.where(F.col("rnk") <= max_bucket_size)
+    a = capped.select("anchor", F.col(id_col).alias("id_a"), F.col("rnk").alias("ra"))
+    b = capped.select("anchor", F.col(id_col).alias("id_b"), F.col("rnk").alias("rb"))
+    # require >= min_shared_anchors distinct shared anchors: a true shared
+    # substring of min_len yields ~4 expected anchors; a single chance anchor
+    # collision (one common phrase) is pruned before any suffix-array work
+    return (
+        a.join(b, "anchor")
+        .where(F.col("ra") < F.col("rb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
+        .where(F.col("n_shared_anchors") >= min_shared_anchors)
+        .select("id_a", "id_b")
+    )
+
+
 def exact_substring_pairs(
     pairs: DataFrame,
     pages: DataFrame,

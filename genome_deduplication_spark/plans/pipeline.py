@@ -1,0 +1,240 @@
+"""The flagship plan: near-duplicate detection + clustering over pages.
+
+Stage graph (each boundary = checkpoint + lineage metrics, the Spark
+re-expression of the reference's sequential engine — see SURVEY.md §3.1):
+
+  1 normalize   extract/normalize text; split off ambiguous docs
+                (reference: sequence cleaning + N handling,
+                 code/dedup2.py:467-468,114-131)
+  2 signatures  distinct shingle set -> MinHash(128) + SimHash(64)
+                (reference: k-mer loop + global set, code/dedup2.py:135-142)
+  3 candidates  exact-hash clusters short-circuit + LSH band buckets -> pairs
+  4 verify      Jaccard estimate + SimHash Hamming -> verified edges
+  5 substring   suffix-array exact long-substring pass on near-miss pairs
+                (reference masks, code/dedup2.py:18,235-246)
+  6 components  connected components -> cluster ids
+                (reference transitive cross-file state, code/dedup2.py:549-554)
+  7 clusters    canonical election min(warc_ts, url) per component
+                (first-occurrence-wins, code/dedup2.py:420-421)
+
+Column-pruning note for 100 TB: `html` is only touched in stage 1 and
+`text` only in stages 1-2 and the (small) stage-5 pair join — every other
+stage moves fixed-width signatures/edges. The stage-boundary parquet
+checkpoints make that pruning physical, not just logical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.config import DedupConfig
+from genome_deduplication_spark.functions.minhash import make_minhash_udf
+from genome_deduplication_spark.functions.shingles import char_shingles31
+from genome_deduplication_spark.functions.simhash import make_simhash_udf
+from genome_deduplication_spark.functions.text import normalize_text
+from genome_deduplication_spark.operators.connected_components import (
+    components_for_string_ids,
+)
+from genome_deduplication_spark.operators.exact_dedup import content_key
+from genome_deduplication_spark.operators.lsh import candidate_pairs
+from genome_deduplication_spark.operators.suffix_array import (
+    anchor_candidate_pairs,
+    exact_substring_pairs,
+)
+from genome_deduplication_spark.operators.verify import verify_pairs
+from genome_deduplication_spark.sources.checkpoint import RunContext
+
+
+def dedup_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    run_dir: str | None = None,
+    enable_substring_pass: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full plan; returns the stage tables.
+
+    ``run_dir=None`` runs without checkpointing (tests/small inputs);
+    otherwise every stage is materialized + resumable.
+    """
+    spark = pages.sparkSession
+    ctx = (
+        RunContext(spark, run_dir, cfg.to_json()) if run_dir is not None else None
+    )
+
+    def stage(name: str, build):
+        if ctx is None:
+            # no durable checkpoint requested: still cut lineage + cache the
+            # stage output so downstream actions don't recompute the DAG
+            return build().localCheckpoint(eager=False)
+        return ctx.stage(name, build)
+
+    def metrics(name: str, **kv):
+        if ctx is not None:
+            ctx.record_metrics(name, kv)
+
+    # -- 1 normalize ----------------------------------------------------------
+    def _normalize():
+        norm = pages.select(
+            "url",
+            "warc_ts",
+            normalize_text(F.col("text")).alias("text"),
+            "lang",
+        )
+        return norm.withColumn(
+            "is_ambiguous",
+            F.col("text").isNull() | (F.length("text") < cfg.shingle_k),
+        )
+
+    normalized = stage("normalize", _normalize)
+    docs = normalized.where(~F.col("is_ambiguous")).drop("is_ambiguous")
+    ambiguous = normalized.where(F.col("is_ambiguous"))
+    metrics(
+        "normalize",
+        docs_in=pages.count(),
+        docs_ok=docs.count(),
+        docs_ambiguous=ambiguous.count(),
+    )
+
+    # -- 2 signatures ----------------------------------------------------------
+    minhash_udf = make_minhash_udf(cfg)
+    simhash_udf = make_simhash_udf(cfg.simhash_bits)
+
+    def _signatures():
+        sh = docs.select(
+            "url",
+            "warc_ts",
+            content_key(F.col("text")).alias("content_hash"),
+            char_shingles31(F.col("text"), cfg.shingle_k).alias("shingles"),
+        )
+        return sh.select(
+            "url",
+            "warc_ts",
+            "content_hash",
+            F.size("shingles").alias("n_shingles"),
+            minhash_udf("shingles").alias("minhash"),
+            simhash_udf("shingles").alias("simhash"),
+        )
+
+    signatures = stage("signatures", _signatures)
+    metrics("signatures", signatures_out=signatures.count())
+
+    # -- 3 candidates ----------------------------------------------------------
+    # exact-duplicate short-circuit: identical content hash is a sure edge —
+    # no LSH needed; also collapse exact groups to one LSH representative so
+    # a 10^6-copy mega-duplicate costs one signature in every band bucket.
+    def _exact_edges():
+        grp = signatures.groupBy("content_hash").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_c"),
+            F.collect_list("url").alias("members"),
+        )
+        return (
+            grp.select(F.col("_c.url").alias("id_a"), F.explode("members").alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
+        )
+
+    exact_edges = stage("exact_edges", _exact_edges)
+
+    def _lsh_pairs():
+        reps = signatures.groupBy("content_hash").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_c"),
+            F.first("minhash").alias("minhash"),
+        ).select(F.col("_c.url").alias("url"), "minhash")
+        pairs = candidate_pairs(reps, cfg, id_col="url", sig_col="minhash")
+        # drop pairs already known exact dups (same content_hash is impossible
+        # here since reps are one-per-hash, so nothing to subtract)
+        return pairs
+
+    lsh_pairs = stage("lsh_pairs", _lsh_pairs)
+    metrics(
+        "candidates",
+        exact_edges=exact_edges.count(),
+        lsh_candidate_pairs=lsh_pairs.count(),
+    )
+
+    # -- 4 verify ----------------------------------------------------------------
+    def _verified():
+        return verify_pairs(lsh_pairs, signatures, cfg, id_col="url")
+
+    verified = stage("verified", _verified)
+    dup_edges = verified.where("is_dup").select("id_a", "id_b")
+    metrics(
+        "verify",
+        pairs_in=verified.count(),
+        pairs_dup=dup_edges.count(),
+    )
+
+    # -- 5 substring pass ---------------------------------------------------------
+    if enable_substring_pass:
+        def _substr():
+            # candidates = anchor-shingle collisions (winnowing index — how a
+            # shared-substring pair is *found* without whole-doc similarity),
+            # minus pairs already confirmed dups, run through the
+            # suffix-array LCS kernel
+            anchors = anchor_candidate_pairs(
+                docs,
+                cfg.min_common_substring,
+                cfg.shingle_k,
+                max_bucket_size=cfg.max_bucket_size,
+                min_shared_anchors=cfg.min_shared_anchors,
+                id_col="url",
+            )
+            known = exact_edges.union(dup_edges)
+            todo = anchors.join(known, ["id_a", "id_b"], "left_anti")
+            return exact_substring_pairs(
+                todo, docs, cfg.min_common_substring, id_col="url"
+            )
+
+        substr = stage("substring", _substr)
+        substr_edges = substr.where("is_substring_dup").select("id_a", "id_b")
+        metrics(
+            "substring",
+            pairs_checked=substr.count(),
+            pairs_substring_dup=substr_edges.count(),
+        )
+    else:
+        substr = None
+        substr_edges = spark.createDataFrame([], "id_a string, id_b string")
+
+    # -- 6 components ----------------------------------------------------------
+    all_edges = exact_edges.union(dup_edges).union(substr_edges)
+
+    def _components():
+        return components_for_string_ids(all_edges, docs.select("url"), id_col="url")
+
+    components = stage("components", _components)
+
+    # -- 7 clusters: canonical = min(warc_ts, url) within each component ---------
+    def _clusters():
+        labeled = components.join(docs.select("url", "warc_ts"), "url")
+        canon = labeled.groupBy("cluster_key").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_c"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        return labeled.join(canon, "cluster_key").select(
+            "url",
+            F.col("_c.url").alias("cluster_id"),
+            "cluster_size",
+        )
+
+    clusters = stage("clusters", _clusters)
+    metrics(
+        "clusters",
+        docs_clustered=clusters.count(),
+        n_clusters=clusters.select("cluster_id").distinct().count(),
+    )
+
+    return {
+        "normalized": normalized,
+        "signatures": signatures,
+        "exact_edges": exact_edges,
+        "lsh_pairs": lsh_pairs,
+        "verified": verified,
+        "substring": substr,
+        "dup_edges": all_edges,
+        "components": components,
+        "clusters": clusters,
+        "ambiguous": ambiguous,
+    }

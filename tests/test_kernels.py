@@ -1,0 +1,81 @@
+"""Unit tests for the signature kernels vs. their pure-Python twins."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.config import DedupConfig, lsh_threshold_curve
+from genome_deduplication_spark.functions.minhash import (
+    make_minhash_udf,
+    minhash_py,
+)
+from genome_deduplication_spark.functions.shingles import char_shingles31
+from genome_deduplication_spark.functions.simhash import make_simhash_udf, simhash_py
+from genome_deduplication_spark.oracle import normalize_py, shingles31_py
+
+CFG = DedupConfig()
+
+
+def test_shingles_spark_matches_python(spark):
+    texts = ["hello world this is a test", "aaaaaaaaaaaa", "short", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(char_shingles31(F.col("text"), CFG.shingle_k).alias("s")).collect()
+    for t, r in zip(texts, rows):
+        assert set(r["s"]) == shingles31_py(t, CFG.shingle_k), t
+
+
+def test_minhash_spark_matches_python(spark):
+    rng = random.Random(7)
+    sets = [sorted(rng.sample(range(1, 2**31 - 1), rng.randint(5, 200))) for _ in range(10)]
+    sets.append([])  # empty -> null signature
+    df = spark.createDataFrame([(s,) for s in sets], "shingles array<bigint>")
+    udf = make_minhash_udf(CFG)
+    rows = df.select(udf("shingles").alias("sig")).collect()
+    for s, r in zip(sets, rows):
+        if not s:
+            assert r["sig"] is None
+        else:
+            assert r["sig"] == minhash_py(s, CFG)
+
+
+def test_minhash_estimates_jaccard(spark):
+    rng = random.Random(11)
+    base = set(rng.sample(range(1, 2**31 - 1), 1000))
+    # build a set with true jaccard ~0.8: |A∩B|/|A∪B| = 0.8
+    keep = set(list(base)[:900])
+    extra = set(rng.sample(range(1, 2**31 - 1), 125))
+    other = keep | extra
+    true_j = len(base & other) / len(base | other)
+    sig_a = minhash_py(sorted(base), CFG)
+    sig_b = minhash_py(sorted(other), CFG)
+    est = sum(x == y for x, y in zip(sig_a, sig_b)) / CFG.num_perm
+    assert abs(est - true_j) < 0.12  # ~3 sigma at 128 perms
+
+
+def test_simhash_spark_matches_python(spark):
+    rng = random.Random(13)
+    sets = [sorted(rng.sample(range(1, 2**31 - 1), rng.randint(5, 100))) for _ in range(8)]
+    df = spark.createDataFrame([(s,) for s in sets], "shingles array<bigint>")
+    udf = make_simhash_udf(64)
+    rows = df.select(udf("shingles").alias("sig")).collect()
+    for s, r in zip(sets, rows):
+        assert r["sig"] == simhash_py(s, 64)
+
+
+def test_lsh_threshold_curve_sane():
+    cfg = DedupConfig()
+    # at j = threshold the curve should be steep and high
+    assert lsh_threshold_curve(cfg, 0.8) > 0.999
+    assert lsh_threshold_curve(cfg, 0.3) < 0.25
+
+
+def test_normalize_twins(spark):
+    from genome_deduplication_spark.functions.text import normalize_text
+
+    texts = ["  A  B\t\nC  ", "Hello   WORLD", "", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(normalize_text(F.col("text")).alias("n")).collect()
+    for t, r in zip(texts, rows):
+        assert r["n"] == normalize_py(t)

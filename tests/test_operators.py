@@ -1,0 +1,131 @@
+"""Operator-level tests: condenser, merge, CC, suffix array, splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.operators.condense import (
+    condense_positions,
+    merge_intervals,
+)
+from genome_deduplication_spark.operators.connected_components import (
+    components_for_string_ids,
+    connected_components,
+)
+from genome_deduplication_spark.operators.split import (
+    sample_exact_n,
+    train_dev_split,
+)
+from genome_deduplication_spark.operators.suffix_array import (
+    longest_common_substring_len,
+    longest_self_repeat_len,
+)
+
+
+def _condense_oracle(positions: list[int], widen: int) -> list[tuple[int, int]]:
+    """Sequential twin of the reference's condense_masked_regions
+    (semantics from code/dedup2.py:235-246 — reimplemented, not copied)."""
+    out: list[tuple[int, int]] = []
+    for p in sorted(set(positions)):
+        if out and p == out[-1][1]:
+            out[-1] = (out[-1][0], p + 1)
+        else:
+            out.append((p, p + 1))
+    return [(s, e - 1 + widen) for s, e in out]
+
+
+def test_condense_matches_oracle(spark):
+    cases = [
+        [1, 2, 3, 7, 8, 20],
+        [5],
+        [1, 3, 5, 7],
+        list(range(100)),
+        [10, 11, 12, 14, 15, 30, 31],
+    ]
+    rows = [("d%d" % i, p) for i, ps in enumerate(cases) for p in ps]
+    df = spark.createDataFrame(rows, "url string, pos int")
+    for widen in (1, 32):
+        got = {
+            (r["url"], r["start"], r["end"])
+            for r in condense_positions(df, widen).collect()
+        }
+        want = {
+            ("d%d" % i, s, e)
+            for i, ps in enumerate(cases)
+            for s, e in _condense_oracle(ps, widen)
+        }
+        assert got == want, widen
+
+
+def test_merge_intervals(spark):
+    spans = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 30), ("a", 30, 35),
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(spans, "url string, start int, end int")
+    got = {(r["url"], r["start"], r["end"]) for r in merge_intervals(df).collect()}
+    assert got == {("a", 0, 15), ("a", 20, 35), ("b", 0, 1)}
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5, clique 10-11-12, singleton edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20), (21, 20)
+    }
+    assert got == want
+
+
+def test_components_for_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("lone",)], "url string"
+    )
+    got = {
+        (r["url"], r["cluster_key"])
+        for r in components_for_string_ids(edges, ids).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("lone", "lone"),
+    }
+
+
+def test_suffix_array_lcs():
+    assert longest_common_substring_len("hello world", "say hello there") == 6
+    assert longest_common_substring_len("abc", "xyz") == 0
+    assert longest_common_substring_len("", "abc") == 0
+    shared = "the quick brown fox jumps over the lazy dog" * 2
+    a = "AAA " + shared + " BBB"
+    b = "CCC " + shared + " DDD"
+    assert longest_common_substring_len(a, b) == len(" " + shared + " ")
+    assert longest_self_repeat_len("abcabc") == 3
+    assert longest_self_repeat_len("abcd") == 0
+
+
+def test_train_dev_split_deterministic(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+    s1 = train_dev_split(df, 0.2, 10, seed=123)
+    s2 = train_dev_split(df, 0.2, 10, seed=123)
+    assert s1.where("split = 'dev'").count() == 10  # capped at max_dev
+    g1 = {(r["url"], r["split"]) for r in s1.collect()}
+    g2 = {(r["url"], r["split"]) for r in s2.collect()}
+    assert g1 == g2
+    # different seed -> different dev set (overwhelmingly likely)
+    s3 = train_dev_split(df, 0.2, 10, seed=999)
+    d1 = {r["url"] for r in s1.where("split='dev'").collect()}
+    d3 = {r["url"] for r in s3.where("split='dev'").collect()}
+    assert d1 != d3
+
+
+def test_sample_exact_n_repartition_invariant(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "url string")
+    a = {r["url"] for r in sample_exact_n(df, 25, seed=5).collect()}
+    b = {r["url"] for r in sample_exact_n(df.repartition(13), 25, seed=5).collect()}
+    assert len(a) == 25
+    assert a == b

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: recall vs. oracle + invariants (checks 1-5
+analogues, reference tests/checks.txt:1-9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.config import DedupConfig
+from genome_deduplication_spark.fixtures.pages import fx_mixed, fx_near, pages_df
+from genome_deduplication_spark.oracle import (
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    normalize_py,
+    pair_recall,
+)
+from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def mixed_result(spark):
+    corpus = fx_mixed(seed=42)
+    df = pages_df(spark, corpus)
+    tables = dedup_pipeline(df, CFG, run_dir=None)
+    return corpus, tables
+
+
+def test_every_doc_clustered_exactly_once(spark, mixed_result):
+    corpus, tables = mixed_result
+    clusters = tables["clusters"]
+    # check-5 analogue: clusters tile the (non-ambiguous) corpus exactly
+    per_url = clusters.groupBy("url").count().where("count > 1")
+    assert per_url.count() == 0
+    n_ambig = tables["ambiguous"].count()
+    assert clusters.count() + n_ambig == len(corpus.rows)
+
+
+def test_truth_pair_recall(spark, mixed_result):
+    corpus, tables = mixed_result
+    got = {
+        (r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"] else (r["id_b"], r["id_a"])
+        for r in tables["dup_edges"].collect()
+    }
+    truth_whole_doc = {
+        (p["url_a"], p["url_b"])
+        for p in corpus.truth_pairs
+        if p["kind"] in ("exact", "near")
+    }
+    recall = pair_recall(got, truth_whole_doc)
+    assert recall >= 0.99, recall
+    truth_substr = {
+        (p["url_a"], p["url_b"]) for p in corpus.truth_pairs if p["kind"] == "substring"
+    }
+    recall_sub = pair_recall(got, truth_substr)
+    assert recall_sub >= 0.95, recall_sub
+
+
+def test_no_false_merges_of_controls(spark, mixed_result):
+    corpus, tables = mixed_result
+    clusters = {r["url"]: r["cluster_id"] for r in tables["clusters"].collect()}
+    # boilerplate + unique docs must remain singletons (check-1 analogue:
+    # canonical docs pairwise non-duplicate)
+    for row in corpus.truth_clusters:
+        u = row["url"]
+        if u.startswith("https://boiler.") or u.startswith("https://unique."):
+            assert clusters[u] == u, u
+
+
+def test_spark_matches_sequential_minhash_oracle(spark):
+    """Differential test (py<->cpp diff analogue): the Spark LSH/verify pair
+    set must equal the sequential oracle running identical math."""
+    corpus = fx_near(seed=42, groups=10)
+    df = pages_df(spark, corpus)
+    tables = dedup_pipeline(df, CFG, run_dir=None, enable_substring_pass=False)
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in tables["verified"].where("is_dup").collect()
+    }
+    docs = {r["url"]: r["text"] for r in corpus.rows}
+    want = minhash_lsh_pairs(docs, CFG)
+    assert got == want
+
+
+def test_recall_vs_exact_jaccard_oracle(spark, mixed_result):
+    corpus, tables = mixed_result
+    docs = {r["url"]: r["text"] for r in corpus.rows}
+    truth = exact_jaccard_pairs(docs, CFG)
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]))) for r in tables["dup_edges"].collect()
+    }
+    assert pair_recall(got, truth) >= 0.99
+
+
+def test_canonical_is_min_warc_ts_url(spark, mixed_result):
+    corpus, tables = mixed_result
+    clusters = tables["clusters"]
+    docs = pages_df(spark, corpus).select("url", "warc_ts")
+    joined = clusters.join(docs, "url")
+    canon = joined.groupBy("cluster_id").agg(
+        F.min(F.struct("warc_ts", "url")).alias("m")
+    )
+    bad = canon.where(F.col("m.url") != F.col("cluster_id"))
+    assert bad.count() == 0
