@@ -69,14 +69,28 @@ def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 100  # ubiquitous shingles (df > cap) carry no similarity signal
+
+
 def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (char-9 shingle) Jaccard near-dup pairs [D1, A3 pattern]:
-    inverted-index self-join, exact set Jaccard >= 0.2."""
+    inverted-index self-join, exact set Jaccard >= 0.2 over *rare* shingles
+    (document frequency <= DF_CAP). The DF cap is the standard
+    hot-posting-list prune for all-pairs similarity: the self-join work is
+    sum(df^2) over shingles, and one boilerplate shingle present in every
+    doc makes that quadratic in corpus size."""
     docs = _read(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh_all = docs.select(
         "doc_id",
         F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+    ).localCheckpoint(eager=False)  # reused by the DF filter and both join sides
+    rare = (
+        sh_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DF_CAP)
+        .select("h")
     )
+    sh = sh_all.join(rare, "h")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -422,10 +436,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "char_jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= {DF_CAP}),
+            shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

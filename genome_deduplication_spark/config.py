@@ -44,6 +44,9 @@ class DedupConfig:
     min_common_substring: int = 120
     # substring candidates must share at least this many anchor shingles
     min_shared_anchors: int = 2
+    # anchors present in more docs than this are boilerplate — dropped from
+    # the substring candidate index entirely
+    anchor_df_cap: int = 50
     # stochastic retain: probability a duplicate pair is *dropped* from the
     # edge set anyway (reference: code/dedup2.py:150-151). 0.0 = off.
     retain_rate: float = 0.0

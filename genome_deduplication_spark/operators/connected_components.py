@@ -87,8 +87,9 @@ def connected_components(
 
     prev_fp = None
     for _ in range(max_iter):
-        cur = _large_star(cur).localCheckpoint(eager=True)
-        cur = _small_star(cur).localCheckpoint(eager=True)
+        # one materialization per round: the large-star lineage folds into
+        # the small-star job; only the round output is checkpointed
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

@@ -116,6 +116,7 @@ def anchor_candidate_pairs(
     shingle_k: int,
     max_bucket_size: int = 200,
     min_shared_anchors: int = 2,
+    anchor_k: int | None = None,
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
@@ -126,36 +127,57 @@ def anchor_candidate_pairs(
     At web scale indexing every shingle is the full inverted index; instead
     we index only *anchor* shingles (hash % m == 0, winnowing-style
     fingerprinting). A shared substring of length >= min_len contains
-    (min_len - k + 1) consecutive shingles, so with m = (min_len - k + 1) / 4
-    the expected number of shared anchors is ~4 and the miss probability
-    (1 - 1/m)^(min_len-k+1) ~ e^-4 < 2%. Deterministic — no rand().
+    (min_len - anchor_k + 1) consecutive anchor-width shingles, so with
+    m = window / 4 the expected number of shared anchors is ~4 and the miss
+    probability (1 - 1/m)^window ~ e^-4 < 2%. Deterministic — no rand().
+
+    ``anchor_k`` is intentionally much wider than the similarity shingle
+    (default ~min_len/2, capped at 48): a 9-char shingle is not
+    discriminative on low-entropy text (common phrases collide corpus-wide,
+    exploding the candidate set), while a 48-char exact match between
+    non-duplicated documents is vanishingly rare. This mirrors the
+    reference's choice of k=32 over a 4-letter alphabet — the anchor must
+    carry enough entropy to make chance collisions negligible
+    (code/dedup2.py:576, k default discussion).
     """
     from genome_deduplication_spark.functions.shingles import char_shingles31
 
-    window = max(min_len - shingle_k + 1, 1)
+    if anchor_k is None:
+        anchor_k = max(shingle_k, min(48, min_len // 2))
+    window = max(min_len - anchor_k + 1, 1)
     m = max(window // 4, 1)
     anchors = docs.select(
         F.col(id_col),
         F.explode(
             F.filter(
-                char_shingles31(F.col(text_col), shingle_k),
+                char_shingles31(F.col(text_col), anchor_k),
                 lambda h: h % m == 0,
             )
         ).alias("anchor"),
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("anchor").orderBy(id_col)
-    ranked = anchors.withColumn("rnk", F.row_number().over(w))
-    capped = ranked.where(F.col("rnk") <= max_bucket_size)
-    a = capped.select("anchor", F.col(id_col).alias("id_a"), F.col("rnk").alias("ra"))
-    b = capped.select("anchor", F.col(id_col).alias("id_b"), F.col("rnk").alias("rb"))
+    # boilerplate prune: an anchor present in more than `max_bucket_size`
+    # documents is template text (headers/footers/navigation), not a quoted
+    # passage — its bucket is DROPPED, not sampled. Template anchors are
+    # all-or-nothing (every templated doc shares the identical windows), so
+    # rank-sampling them would still emit cap^2 useless pairs per anchor.
+    # This deliberately diverges from the reference (which masks every
+    # duplicate k-mer regardless of frequency, code/dedup2.py:142): at
+    # 10^12 docs, frequency IS the boilerplate/quotation signal.
+    small = (
+        anchors.groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_bucket_size)
+        .select("anchor")
+    )
+    kept = anchors.join(small, "anchor")
+    a = kept.select("anchor", F.col(id_col).alias("id_a"))
+    b = kept.select("anchor", F.col(id_col).alias("id_b"))
     # require >= min_shared_anchors distinct shared anchors: a true shared
     # substring of min_len yields ~4 expected anchors; a single chance anchor
     # collision (one common phrase) is pruned before any suffix-array work
     return (
         a.join(b, "anchor")
-        .where(F.col("ra") < F.col("rb"))
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
         .where(F.col("n_shared_anchors") >= min_shared_anchors)

@@ -72,8 +72,10 @@ def dedup_pipeline(
         return ctx.stage(name, build)
 
     def metrics(name: str, **kv):
+        # kv values are thunks — only evaluated (each is a Spark job) when a
+        # run context is recording lineage
         if ctx is not None:
-            ctx.record_metrics(name, kv)
+            ctx.record_metrics(name, {k: v() for k, v in kv.items()})
 
     # -- 1 normalize ----------------------------------------------------------
     def _normalize():
@@ -93,9 +95,9 @@ def dedup_pipeline(
     ambiguous = normalized.where(F.col("is_ambiguous"))
     metrics(
         "normalize",
-        docs_in=pages.count(),
-        docs_ok=docs.count(),
-        docs_ambiguous=ambiguous.count(),
+        docs_in=pages.count,
+        docs_ok=docs.count,
+        docs_ambiguous=ambiguous.count,
     )
 
     # -- 2 signatures ----------------------------------------------------------
@@ -119,7 +121,7 @@ def dedup_pipeline(
         )
 
     signatures = stage("signatures", _signatures)
-    metrics("signatures", signatures_out=signatures.count())
+    metrics("signatures", signatures_out=signatures.count)
 
     # -- 3 candidates ----------------------------------------------------------
     # exact-duplicate short-circuit: identical content hash is a sure edge —
@@ -150,8 +152,8 @@ def dedup_pipeline(
     lsh_pairs = stage("lsh_pairs", _lsh_pairs)
     metrics(
         "candidates",
-        exact_edges=exact_edges.count(),
-        lsh_candidate_pairs=lsh_pairs.count(),
+        exact_edges=exact_edges.count,
+        lsh_candidate_pairs=lsh_pairs.count,
     )
 
     # -- 4 verify ----------------------------------------------------------------
@@ -162,8 +164,8 @@ def dedup_pipeline(
     dup_edges = verified.where("is_dup").select("id_a", "id_b")
     metrics(
         "verify",
-        pairs_in=verified.count(),
-        pairs_dup=dup_edges.count(),
+        pairs_in=verified.count,
+        pairs_dup=dup_edges.count,
     )
 
     # -- 5 substring pass ---------------------------------------------------------
@@ -177,7 +179,7 @@ def dedup_pipeline(
                 docs,
                 cfg.min_common_substring,
                 cfg.shingle_k,
-                max_bucket_size=cfg.max_bucket_size,
+                max_bucket_size=cfg.anchor_df_cap,
                 min_shared_anchors=cfg.min_shared_anchors,
                 id_col="url",
             )
@@ -191,8 +193,8 @@ def dedup_pipeline(
         substr_edges = substr.where("is_substring_dup").select("id_a", "id_b")
         metrics(
             "substring",
-            pairs_checked=substr.count(),
-            pairs_substring_dup=substr_edges.count(),
+            pairs_checked=substr.count,
+            pairs_substring_dup=substr_edges.count,
         )
     else:
         substr = None
@@ -222,8 +224,8 @@ def dedup_pipeline(
     clusters = stage("clusters", _clusters)
     metrics(
         "clusters",
-        docs_clustered=clusters.count(),
-        n_clusters=clusters.select("cluster_id").distinct().count(),
+        docs_clustered=clusters.count,
+        n_clusters=clusters.select("cluster_id").distinct().count,
     )
 
     return {

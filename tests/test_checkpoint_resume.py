@@ -1,0 +1,75 @@
+"""Resume semantics (reference save_every/-p, code/dedup2.py:546,553):
+kill after stage N, resume from checkpoint, identical final table."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from genome_deduplication_spark.config import DedupConfig
+from genome_deduplication_spark.fixtures.pages import fx_exact, fx_near, pages_df
+from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+from genome_deduplication_spark.sources.checkpoint import RunContext
+
+CFG = DedupConfig()
+
+
+def _corpus():
+    c = fx_exact(seed=42, groups=6, copies=2)
+    c.extend(fx_near(seed=42, groups=6, copies=1))
+    return c
+
+
+def _clusters_set(tables):
+    return {
+        (r["url"], r["cluster_id"])
+        for r in tables["clusters"].collect()
+    }
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    corpus = _corpus()
+    df = pages_df(spark, corpus)
+
+    full_dir = str(tmp_path / "full")
+    want = _clusters_set(dedup_pipeline(df, CFG, run_dir=full_dir))
+
+    # simulate a crash: run fully, then delete completion markers for every
+    # stage after `signatures` and resume — early stages must be reused,
+    # later ones recomputed, final table identical
+    resume_dir = str(tmp_path / "resume")
+    dedup_pipeline(df, CFG, run_dir=resume_dir)
+    for name in os.listdir(resume_dir):
+        if name.startswith("_STAGE_") and not (
+            "_normalize" in name or "_signatures" in name
+        ):
+            os.remove(os.path.join(resume_dir, name))
+    sig_mtime = os.path.getmtime(os.path.join(resume_dir, "stage_signatures"))
+    got = _clusters_set(dedup_pipeline(df, CFG, run_dir=resume_dir))
+    assert got == want
+    # signatures stage data untouched by the resume
+    assert os.path.getmtime(os.path.join(resume_dir, "stage_signatures")) == sig_mtime
+
+
+def test_config_mismatch_refuses_resume(spark, tmp_path):
+    run_dir = str(tmp_path / "guard")
+    RunContext(spark, run_dir, CFG.to_json())
+    other = DedupConfig(jaccard_threshold=0.5)
+    with pytest.raises(ValueError, match="different config"):
+        RunContext(spark, run_dir, other.to_json())
+
+
+def test_manifest_source(spark, tmp_path):
+    from genome_deduplication_spark.sources.pages_source import read_pages
+
+    corpus = _corpus()
+    df = pages_df(spark, corpus)
+    p1 = str(tmp_path / "part1.parquet")
+    df.limit(5).write.parquet(p1)
+    manifest = tmp_path / "inputs.list"
+    manifest.write_text(f"{p1}\n{tmp_path}/missing.parquet\n")
+    out, lineage = read_pages(spark, str(manifest))
+    assert out.count() == 5
+    assert lineage["missing_paths"] == [f"{tmp_path}/missing.parquet"]
