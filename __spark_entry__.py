@@ -358,6 +358,83 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence retrieval by region [S6]: project span coordinates back to
+    text (the bedtools-getfasta analogue, reference
+    aggregate_and_track_samples.sh:31-65) — here: the token run of each
+    doc's first masked span."""
+    spans = q_masked_word_spans(spark, sf_dir)
+    first = spans.groupBy("doc_id").agg(
+        F.min(F.struct("span_start", "span_end")).alias("s")
+    ).select("doc_id", F.col("s.span_start").alias("a"), F.col("s.span_end").alias("b"))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    return first.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("a").alias("span_start"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("a"), F.col("b") - F.col("a"))
+        ).alias("span_text"),
+    )
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join [R7]: count overlapping ship windows per supplier
+    (reference bedtools-intersect analogue, check_beds.sh:19-44), bounded to
+    1996-H1 shipments."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.unix_timestamp("l_shipdate").alias("s"),
+        (F.unix_timestamp("l_shipdate") + F.lit(3 * 86400)).alias("e"),
+    )
+    a = iv.select("l_suppkey", F.col("k").alias("ka"), F.col("ln").alias("la"),
+                  F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = iv.select("l_suppkey", F.col("k").alias("kb"), F.col("ln").alias("lb"),
+                  F.col("s").alias("sb"), F.col("e").alias("eb"))
+    pairs = a.join(b, "l_suppkey").where(
+        (F.col("sa") < F.col("eb"))
+        & (F.col("sb") < F.col("ea"))
+        & (
+            (F.col("ka") < F.col("kb"))
+            | ((F.col("ka") == F.col("kb")) & (F.col("la") < F.col("lb")))
+        )
+    )
+    return pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic [text analysis]: marker-word votes, 'und' when
+    none hit. Heuristic lives in functions/text.py; rows-only driver check
+    (the array-of-struct argmax is awkward to mirror exactly in DuckDB)."""
+    from genome_deduplication_spark.functions.text import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors [similarity search, scale path]:
+    hyperplane-LSH bucketed cosine top-3 for query vectors vec_id < 100.
+    Deterministic given the seed; rows-only driver check (approximation has
+    no exact SQL twin — the brute-force twin is q_embedding_cosine_topk)."""
+    from genome_deduplication_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return cosine_topk_lsh(
+        emb.where("vec_id < 100"), emb, k=3, dim=dim, n_bits=16, bands=8,
+        seed=CFG.seed,
+    ).select("q_id", "n_id", "rank", F.round("sim", 5).alias("sim"))
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline [D1-D8]: MinHash/LSH/SimHash/substring/CC over
     documents-as-pages. Non-SQL-expressible (pandas-UDF kernels + iterative
@@ -397,6 +474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_exact_dup": q_embedding_exact_dup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "span_text_retrieval": q_span_text_retrieval,
+        "overlap_pairs": q_overlap_pairs,
+        "lang_id": q_lang_id,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "near_dup_clusters": q_near_dup_clusters,
     }
 
@@ -604,6 +685,61 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3
+        """,
+        "span_text_retrieval": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(s, ' ')) AS tok,
+                     generate_subscripts(string_split(s, ' '), 1) AS ord
+              FROM nrm
+            ),
+            firsts AS (SELECT doc_id, tok, min(ord) AS f FROM toks GROUP BY 1, 2),
+            masked AS (
+              SELECT t.doc_id, t.ord FROM toks t
+              JOIN firsts f ON t.doc_id = f.doc_id AND t.tok = f.tok
+              WHERE t.ord > f.f
+            ),
+            flags AS (
+              SELECT doc_id, ord,
+                     CASE WHEN ord - lag(ord) OVER (PARTITION BY doc_id ORDER BY ord) = 1
+                          THEN 0 ELSE 1 END AS flag
+              FROM masked
+            ),
+            isl AS (
+              SELECT doc_id, ord,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY ord
+                                     ROWS UNBOUNDED PRECEDING) AS island
+              FROM flags
+            ),
+            spans AS (
+              SELECT doc_id, min(ord) AS a, max(ord) + 1 AS b
+              FROM isl GROUP BY doc_id, island
+            ),
+            firstspan AS (
+              SELECT doc_id, min(a) AS a, arg_min(b, a) AS b
+              FROM spans GROUP BY doc_id
+            )
+            SELECT f.doc_id, f.a AS span_start,
+                   array_to_string(string_split(n.s, ' ')[f.a:(f.b - 1)], ' ')
+                     AS span_text
+            FROM firstspan f JOIN nrm n ON f.doc_id = n.doc_id
+        """,
+        "overlap_pairs": """
+            WITH iv AS (
+              SELECT l_suppkey, l_orderkey AS k, l_linenumber AS ln,
+                     epoch(l_shipdate)::BIGINT AS s,
+                     epoch(l_shipdate)::BIGINT + 3 * 86400 AS e
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
+            SELECT a.l_suppkey, count(*) AS n_overlapping_pairs
+            FROM iv a JOIN iv b
+              ON a.l_suppkey = b.l_suppkey
+             AND a.s < b.e AND b.s < a.e
+             AND (a.k < b.k OR (a.k = b.k AND a.ln < b.ln))
+            GROUP BY a.l_suppkey
         """,
         # near_dup_clusters intentionally omitted: pandas-UDF MinHash + LSH +
         # iterative connected components are not ANSI-SQL-expressible; the

@@ -62,6 +62,17 @@ class DedupConfig:
                 f" != num_perm({self.num_perm})"
             )
 
+    def anchor_width(self) -> int:
+        """Width (bytes) of exact-substring anchor windows — wide enough to
+        be discriminative on low-entropy text (see suffix_array docstring)."""
+        return max(self.shingle_k, min(48, self.min_common_substring // 2))
+
+    def anchor_modulus(self) -> int:
+        """Anchor sampling modulus: ~4 expected anchors per true
+        min_common_substring overlap."""
+        window = max(self.min_common_substring - self.anchor_width() + 1, 1)
+        return max(window // 4, 1)
+
     def minhash_coefficients(self) -> tuple[list[int], list[int]]:
         """Deterministic (a, b) pairs for sig_j = min((a_j*h + b_j) mod p).
 

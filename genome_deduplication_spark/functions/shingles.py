@@ -81,37 +81,60 @@ def make_char_shingles31_pandas(k: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingles_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        # precompute base^(k-1) mod M61
-        top = pow(_POLY_BASE, k - 1, _M61)
         for series in it:
             out = []
             for s in series:
-                if s is None or len(s) < k:
+                if s is None:
                     out.append([])
                     continue
                 data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-                n = len(data)
-                if n < k:
-                    out.append([])
-                    continue
-                # prefix hashes via cumulative Horner in object-free numpy:
-                # h[i] = (h[i-1]*B + byte[i]) mod M61 — sequential, so do the
-                # Horner fold with a python loop over k only (rolling update
-                # vectorized over positions instead).
-                vals = data.astype(np.uint64)
-                # initial window hash for every position computed by k
-                # vectorized shifts: H_j = sum(byte[j+i] * B^(k-1-i))
-                acc = np.zeros(n - k + 1, dtype=np.uint64)
-                power = np.uint64(1)
-                for i in range(k - 1, -1, -1):
-                    contrib = (vals[i : i + n - k + 1] * power) % np.uint64(_M61)
-                    acc = (acc + contrib) % np.uint64(_M61)
-                    power = np.uint64((int(power) * _POLY_BASE) % _M61)
-                h31 = (acc % np.uint64(MERSENNE31)).astype(np.int64)
-                out.append(np.unique(h31).tolist())
+                out.append(np.unique(poly_window_hashes_np(data, k)))
             yield pd.Series(out)
 
     return shingles_udf
+
+
+def poly_window_hashes_np(data: np.ndarray, k: int) -> np.ndarray:
+    """All k-byte window hashes of a uint8 array, polynomial family mod
+    2**31-1. Vectorized: k passes of O(n) numpy ops.
+
+    The modulus is 2**31-1 (not 2**61-1) so every intermediate
+    byte*power product stays below 2**39 — far inside uint64, no silent
+    wraparound. The final hash space is 31-bit regardless (MinHash domain).
+
+    NOTE: windows are over UTF-8 BYTES (not characters) — consistent
+    between this kernel and :func:`poly_shingles31_py`; fine for hashing
+    (byte windows are as discriminative as char windows)."""
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    vals = data.astype(np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    m31 = np.uint64(MERSENNE31)
+    power = np.uint64(1)
+    base = _POLY_BASE % MERSENNE31
+    for i in range(k - 1, -1, -1):
+        acc = (acc + vals[i : i + n - k + 1] * power) % m31
+        power = np.uint64((int(power) * base) % MERSENNE31)
+    return acc.astype(np.int64)
+
+
+def poly_shingles31_py(text: str, k: int) -> set[int]:
+    """Pure-Python twin of :func:`poly_window_hashes_np` (distinct set) —
+    the oracle-side shingle family for the pipeline's differential tests."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n < k:
+        return set()
+    base = _POLY_BASE % MERSENNE31
+    out = set()
+    # Horner per window (O(n*k) python — oracle-scale only)
+    for i in range(n - k + 1):
+        h = 0
+        for b in data[i : i + k]:
+            h = (h * base + b) % MERSENNE31
+        out.add(h)
+    return out
 
 
 __all__ = [
@@ -119,4 +142,6 @@ __all__ = [
     "char_shingles64",
     "word_shingles",
     "make_char_shingles31_pandas",
+    "poly_window_hashes_np",
+    "poly_shingles31_py",
 ]

@@ -1,0 +1,187 @@
+"""Fused signature kernel: one Arrow pass computing MinHash + SimHash.
+
+Running MinHash and SimHash as separate pandas UDFs deserializes the (large)
+shingle column twice and boxes every output value into Python ints via
+tolist(); fused, the shingle batch crosses the Arrow boundary once and all
+outputs stay numpy until Arrow serialization. Same arithmetic as
+functions.minhash / functions.simhash (property-tested equal).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from genome_deduplication_spark.config import MERSENNE31, DedupConfig
+
+_MASK = np.uint64((1 << 64) - 1)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def make_doc_signature_udf(cfg: DedupConfig):
+    """The one-pass document kernel: normalized text -> struct(n_shingles,
+    minhash, simhash, anchors).
+
+    Everything per-document happens in a single Arrow round trip:
+    * O(n) polynomial rolling shingle hashes (numpy, k vectorized passes)
+      — replaces the O(n*k) JVM md5 path in the hot pipeline (the md5
+      family remains the cross-engine-portable path for oracle queries);
+    * distinct shingle set (np.unique);
+    * 128-perm MinHash + 64-bit SimHash over the distinct set;
+    * anchor hashes for the exact-substring index: anchor_k-byte windows
+      whose hash % m == 0 (see operators/suffix_array.anchor_candidate_pairs
+      for the selectivity math).
+
+    Differentially tested against the pure-Python twins
+    (oracle.poly twins / functions.shingles.poly_shingles31_py).
+    """
+    from genome_deduplication_spark.functions.shingles import (
+        poly_window_hashes_np,
+    )
+
+    a_list, b_list = cfg.minhash_coefficients()
+    a = np.array(a_list, dtype=np.int64)
+    b = np.array(b_list, dtype=np.int64)
+    p = np.int64(MERSENNE31)
+    num_perm = cfg.num_perm
+    bits = cfg.simhash_bits
+    k = cfg.shingle_k
+    anchor_k = cfg.anchor_width()
+    anchor_m = cfg.anchor_modulus()
+
+    schema = T.StructType(
+        [
+            T.StructField("n_shingles", T.IntegerType()),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+            T.StructField("anchors", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def doc_signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in it:
+            texts = series.to_numpy()
+            n_rows = len(texts)
+            shingle_rows: list = []
+            anchor_rows: list = []
+            lengths = np.empty(n_rows, dtype=np.int64)
+            for i, t in enumerate(texts):
+                data = np.frombuffer(
+                    (t or "").encode("utf-8"), dtype=np.uint8
+                )
+                sh = np.unique(poly_window_hashes_np(data, k))
+                lengths[i] = len(sh)
+                shingle_rows.append(sh)
+                aw = poly_window_hashes_np(data, anchor_k)
+                anchor_rows.append(np.unique(aw[aw % anchor_m == 0]))
+            mh_out: list = [None] * n_rows
+            sh_out: list = [None] * n_rows
+            nonempty = np.flatnonzero(lengths > 0)
+            if len(nonempty):
+                flat = np.concatenate([shingle_rows[i] for i in nonempty])
+                ne_lengths = lengths[nonempty]
+                starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
+                sigs = np.empty((len(nonempty), num_perm), dtype=np.int64)
+                for j in range(num_perm):
+                    hj = (flat * a[j] + b[j]) % p
+                    sigs[:, j] = np.minimum.reduceat(hj, starts)
+                fu = _splitmix64(flat.astype(np.uint64))
+                sim = np.zeros(len(nonempty), dtype=np.uint64)
+                for bit in range(bits):
+                    ones = np.add.reduceat(
+                        ((fu >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+                        starts,
+                    )
+                    sim |= (ones * 2 > ne_lengths).astype(np.uint64) << np.uint64(bit)
+                sim = sim.astype(np.int64)
+                for idx, i in enumerate(nonempty):
+                    mh_out[i] = sigs[idx]
+                    sh_out[i] = int(sim[idx])
+            yield pd.DataFrame(
+                {
+                    "n_shingles": pd.Series(lengths, dtype="int32"),
+                    "minhash": mh_out,
+                    "simhash": pd.Series(sh_out, dtype="object"),
+                    "anchors": anchor_rows,
+                }
+            )
+
+    return doc_signature_udf
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """array<long> shingles -> struct(minhash array<long>, simhash long)."""
+    a_list, b_list = cfg.minhash_coefficients()
+    a = np.array(a_list, dtype=np.int64)
+    b = np.array(b_list, dtype=np.int64)
+    p = np.int64(MERSENNE31)
+    num_perm = cfg.num_perm
+    bits = cfg.simhash_bits
+
+    schema = T.StructType(
+        [
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in it:
+            vals = series.to_numpy()
+            lengths = np.array(
+                [0 if s is None else len(s) for s in vals], dtype=np.int64
+            )
+            n_rows = len(vals)
+            mh_out: list = [None] * n_rows
+            sh_out = np.zeros(n_rows, dtype=np.int64)
+            nonempty = np.flatnonzero(lengths > 0)
+            if len(nonempty):
+                flat = np.concatenate([np.asarray(vals[i], dtype=np.int64)
+                                       for i in nonempty])
+                ne_lengths = lengths[nonempty]
+                starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
+                # MinHash: one vectorized pass per permutation
+                sigs = np.empty((len(nonempty), num_perm), dtype=np.int64)
+                for j in range(num_perm):
+                    hj = (flat * a[j] + b[j]) % p
+                    sigs[:, j] = np.minimum.reduceat(hj, starts)
+                # SimHash: majority vote per bit over diffused hashes
+                fu = _splitmix64(flat.astype(np.uint64))
+                sim = np.zeros(len(nonempty), dtype=np.uint64)
+                for bit in range(bits):
+                    ones = np.add.reduceat(
+                        ((fu >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+                        starts,
+                    )
+                    sim |= (ones * 2 > ne_lengths).astype(np.uint64) << np.uint64(bit)
+                for k, i in enumerate(nonempty):
+                    mh_out[i] = sigs[k]  # numpy array: no python-int boxing
+                sh_out[nonempty] = sim.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "minhash": mh_out,
+                    # object dtype: None + int64 must NOT become float64
+                    # (2**63-scale values silently lose low bits)
+                    "simhash": pd.Series(
+                        [
+                            None if lengths[i] == 0 else int(sh_out[i])
+                            for i in range(n_rows)
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return signature_udf

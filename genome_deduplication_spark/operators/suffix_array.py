@@ -140,29 +140,45 @@ def anchor_candidate_pairs(
     carry enough entropy to make chance collisions negligible
     (code/dedup2.py:576, k default discussion).
     """
-    from genome_deduplication_spark.functions.shingles import char_shingles31
+    from genome_deduplication_spark.functions.shingles import char_shingles64
 
     if anchor_k is None:
         anchor_k = max(shingle_k, min(48, min_len // 2))
     window = max(min_len - anchor_k + 1, 1)
     m = max(window // 4, 1)
+    # xxhash64 (not the portable md5 hash): anchors never need cross-engine
+    # reproduction, and xxhash is ~an order of magnitude cheaper per window
     anchors = docs.select(
         F.col(id_col),
         F.explode(
             F.filter(
-                char_shingles31(F.col(text_col), anchor_k),
-                lambda h: h % m == 0,
+                char_shingles64(F.col(text_col), anchor_k),
+                lambda h: F.pmod(h, F.lit(m)) == 0,
             )
         ).alias("anchor"),
     )
-    # boilerplate prune: an anchor present in more than `max_bucket_size`
-    # documents is template text (headers/footers/navigation), not a quoted
-    # passage — its bucket is DROPPED, not sampled. Template anchors are
-    # all-or-nothing (every templated doc shares the identical windows), so
-    # rank-sampling them would still emit cap^2 useless pairs per anchor.
-    # This deliberately diverges from the reference (which masks every
-    # duplicate k-mer regardless of frequency, code/dedup2.py:142): at
-    # 10^12 docs, frequency IS the boilerplate/quotation signal.
+    return pairs_from_anchor_rows(
+        anchors, max_bucket_size, min_shared_anchors, id_col=id_col
+    )
+
+
+def pairs_from_anchor_rows(
+    anchors: DataFrame,
+    max_bucket_size: int,
+    min_shared_anchors: int,
+    id_col: str = "url",
+) -> DataFrame:
+    """(id, anchor) rows -> candidate (id_a < id_b) pairs.
+
+    Boilerplate prune: an anchor present in more than `max_bucket_size`
+    documents is template text (headers/footers/navigation), not a quoted
+    passage — its bucket is DROPPED, not sampled. Template anchors are
+    all-or-nothing (every templated doc shares the identical windows), so
+    rank-sampling them would still emit cap^2 useless pairs per anchor.
+    This deliberately diverges from the reference (which masks every
+    duplicate k-mer regardless of frequency, code/dedup2.py:142): at
+    10^12 docs, frequency IS the boilerplate/quotation signal.
+    """
     small = (
         anchors.groupBy("anchor")
         .agg(F.count(F.lit(1)).alias("df"))

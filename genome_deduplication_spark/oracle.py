@@ -34,10 +34,19 @@ def normalize_py(text: str) -> str:
 
 
 def shingles31_py(text: str, k: int) -> set[int]:
-    """Twin of functions.shingles.char_shingles31 (distinct set)."""
+    """Twin of functions.shingles.char_shingles31 (md5 portable family,
+    distinct set) — the DuckDB-facing shingle family."""
     if len(text) < k:
         return set()
     return {hash31_py(text[i : i + k]) for i in range(len(text) - k + 1)}
+
+
+def pipeline_shingles_py(text: str, k: int) -> set[int]:
+    """Twin of the pipeline's hot-path shingle family (polynomial rolling
+    hash over UTF-8 bytes — functions.signatures.make_doc_signature_udf)."""
+    from genome_deduplication_spark.functions.shingles import poly_shingles31_py
+
+    return poly_shingles31_py(text, k)
 
 
 class UnionFind:
@@ -76,7 +85,8 @@ def exact_jaccard_pairs(
 
     Inverted-index pruned (pairs must share >= 1 shingle) — still exact.
     """
-    sh = {u: shingles31_py(normalize_py(t), cfg.shingle_k) for u, t in docs.items()}
+    sh = {u: pipeline_shingles_py(normalize_py(t), cfg.shingle_k)
+          for u, t in docs.items()}
     index: dict[int, list[str]] = defaultdict(list)
     for u, s in sh.items():
         for v in s:
@@ -114,7 +124,7 @@ def minhash_lsh_pairs(docs: dict[str, str], cfg: DedupConfig) -> set[tuple[str, 
     sigs: dict[str, list[int]] = {}
     simh: dict[str, int] = {}
     for u, t in docs.items():
-        s = sorted(shingles31_py(normalize_py(t), cfg.shingle_k))
+        s = sorted(pipeline_shingles_py(normalize_py(t), cfg.shingle_k))
         if not s:
             continue
         sigs[u] = minhash_py(s, cfg)

@@ -31,9 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genome_deduplication_spark.config import DedupConfig
-from genome_deduplication_spark.functions.minhash import make_minhash_udf
-from genome_deduplication_spark.functions.shingles import char_shingles31
-from genome_deduplication_spark.functions.simhash import make_simhash_udf
+from genome_deduplication_spark.functions.signatures import make_doc_signature_udf
 from genome_deduplication_spark.functions.text import normalize_text
 from genome_deduplication_spark.operators.connected_components import (
     components_for_string_ids,
@@ -41,8 +39,8 @@ from genome_deduplication_spark.operators.connected_components import (
 from genome_deduplication_spark.operators.exact_dedup import content_key
 from genome_deduplication_spark.operators.lsh import candidate_pairs
 from genome_deduplication_spark.operators.suffix_array import (
-    anchor_candidate_pairs,
     exact_substring_pairs,
+    pairs_from_anchor_rows,
 )
 from genome_deduplication_spark.operators.verify import verify_pairs
 from genome_deduplication_spark.sources.checkpoint import RunContext
@@ -101,23 +99,26 @@ def dedup_pipeline(
     )
 
     # -- 2 signatures ----------------------------------------------------------
-    minhash_udf = make_minhash_udf(cfg)
-    simhash_udf = make_simhash_udf(cfg.simhash_bits)
+    # one Arrow pass per document computes shingles (O(n) rolling hash),
+    # MinHash, SimHash AND the exact-substring anchor index; struct fields
+    # are extracted immediately (checkpointing a raw struct column is
+    # pathologically slow in the serializer)
+    doc_signature_udf = make_doc_signature_udf(cfg)
 
     def _signatures():
-        sh = docs.select(
+        return docs.select(
             "url",
             "warc_ts",
             content_key(F.col("text")).alias("content_hash"),
-            char_shingles31(F.col("text"), cfg.shingle_k).alias("shingles"),
-        )
-        return sh.select(
+            doc_signature_udf("text").alias("sig"),
+        ).select(
             "url",
             "warc_ts",
             "content_hash",
-            F.size("shingles").alias("n_shingles"),
-            minhash_udf("shingles").alias("minhash"),
-            simhash_udf("shingles").alias("simhash"),
+            F.col("sig.n_shingles").alias("n_shingles"),
+            F.col("sig.minhash").alias("minhash"),
+            F.col("sig.simhash").alias("simhash"),
+            F.col("sig.anchors").alias("anchors"),
         )
 
     signatures = stage("signatures", _signatures)
@@ -174,17 +175,19 @@ def dedup_pipeline(
             # candidates = anchor-shingle collisions (winnowing index — how a
             # shared-substring pair is *found* without whole-doc similarity),
             # minus pairs already confirmed dups, run through the
-            # suffix-array LCS kernel
-            anchors = anchor_candidate_pairs(
-                docs,
-                cfg.min_common_substring,
-                cfg.shingle_k,
+            # suffix-array LCS kernel. Anchors were computed in the same
+            # Arrow pass as the signatures — no text re-hash here.
+            anchor_rows = signatures.select(
+                "url", F.explode("anchors").alias("anchor")
+            )
+            cand = pairs_from_anchor_rows(
+                anchor_rows,
                 max_bucket_size=cfg.anchor_df_cap,
                 min_shared_anchors=cfg.min_shared_anchors,
                 id_col="url",
             )
             known = exact_edges.union(dup_edges)
-            todo = anchors.join(known, ["id_a", "id_b"], "left_anti")
+            todo = cand.join(known, ["id_a", "id_b"], "left_anti")
             return exact_substring_pairs(
                 todo, docs, cfg.min_common_substring, id_col="url"
             )

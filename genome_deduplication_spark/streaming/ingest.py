@@ -22,36 +22,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genome_deduplication_spark.config import DedupConfig
-from genome_deduplication_spark.functions.minhash import make_minhash_udf
-from genome_deduplication_spark.functions.shingles import char_shingles31
-from genome_deduplication_spark.functions.simhash import make_simhash_udf
+from genome_deduplication_spark.functions.signatures import make_doc_signature_udf
 from genome_deduplication_spark.functions.text import normalize_text
 from genome_deduplication_spark.operators.exact_dedup import content_key
 
 
 def streaming_signatures(pages_stream: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """pages stream -> signature stream (same kernels as the batch stage 2)."""
-    minhash_udf = make_minhash_udf(cfg)
-    simhash_udf = make_simhash_udf(cfg.simhash_bits)
+    """pages stream -> signature stream (same one-pass kernel as batch
+    stage 2, so streamed and batch signature tables are interchangeable)."""
+    doc_signature_udf = make_doc_signature_udf(cfg)
     norm = pages_stream.select(
         "url",
         "warc_ts",
         normalize_text(F.col("text")).alias("text"),
         "lang",
     ).where(F.col("text").isNotNull() & (F.length("text") >= cfg.shingle_k))
-    sh = norm.select(
+    return norm.select(
         "url",
         "warc_ts",
         content_key(F.col("text")).alias("content_hash"),
-        char_shingles31(F.col("text"), cfg.shingle_k).alias("shingles"),
-    )
-    return sh.select(
+        doc_signature_udf("text").alias("sig"),
+    ).select(
         "url",
         "warc_ts",
         "content_hash",
-        F.size("shingles").alias("n_shingles"),
-        minhash_udf("shingles").alias("minhash"),
-        simhash_udf("shingles").alias("simhash"),
+        F.col("sig.n_shingles").alias("n_shingles"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.simhash").alias("simhash"),
+        F.col("sig.anchors").alias("anchors"),
     )
 
 

@@ -64,6 +64,75 @@ def test_simhash_spark_matches_python(spark):
         assert r["sig"] == simhash_py(s, 64)
 
 
+def test_fused_signature_udf_matches_separate_kernels(spark):
+    import random as _r
+
+    from pyspark.sql import functions as F2
+
+    from genome_deduplication_spark.functions.signatures import make_signature_udf
+
+    rng = _r.Random(21)
+    sets = [sorted(rng.sample(range(1, 2**31 - 1), rng.randint(5, 300))) for _ in range(12)]
+    sets.append([])
+    df = spark.createDataFrame([(s,) for s in sets], "shingles array<bigint>")
+    fused = make_signature_udf(CFG)
+    rows = df.select(fused("shingles").alias("sig")).select(
+        F2.col("sig.minhash").alias("mh"), F2.col("sig.simhash").alias("sh")
+    ).collect()
+    for s, r in zip(sets, rows):
+        if not s:
+            assert r["mh"] is None and r["sh"] is None
+        else:
+            assert r["mh"] == minhash_py(s, CFG)
+            assert r["sh"] == simhash_py(s, 64)
+
+
+def test_doc_signature_udf_matches_python_twins(spark):
+    """The one-pass text kernel == pure-Python poly twins (shingles,
+    MinHash, SimHash, anchors)."""
+    import random as _r
+
+    from pyspark.sql import functions as F2
+
+    from genome_deduplication_spark.functions.shingles import poly_shingles31_py
+    from genome_deduplication_spark.functions.signatures import (
+        make_doc_signature_udf,
+    )
+
+    rng = _r.Random(5)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 120)))
+        for _ in range(10)
+    ]
+    texts += ["", "tiny", "x" * 200]  # empty / sub-k / min_len-scale
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    udf = make_doc_signature_udf(CFG)
+    rows = df.select("text", udf("text").alias("sig")).select(
+        "text",
+        F2.col("sig.n_shingles").alias("n"),
+        F2.col("sig.minhash").alias("mh"),
+        F2.col("sig.simhash").alias("sh"),
+        F2.col("sig.anchors").alias("an"),
+    ).collect()
+    anchor_k = CFG.anchor_width()
+    anchor_m = CFG.anchor_modulus()
+    for r in rows:
+        t = r["text"]
+        want_sh = poly_shingles31_py(t, CFG.shingle_k)
+        assert r["n"] == len(want_sh), t[:30]
+        if not want_sh:
+            assert r["mh"] is None and r["sh"] is None
+        else:
+            s = sorted(want_sh)
+            assert r["mh"] == minhash_py(s, CFG)
+            assert r["sh"] == simhash_py(s, 64)
+        want_anchors = {
+            h for h in poly_shingles31_py(t, anchor_k) if h % anchor_m == 0
+        }
+        assert set(r["an"]) == want_anchors
+
+
 def test_lsh_threshold_curve_sane():
     cfg = DedupConfig()
     # at j = threshold the curve should be steep and high
