@@ -36,8 +36,13 @@ def _build_bench_corpus(spark, n_docs: int):
         ".bench_cache",
         f"pages_{n_docs}",
     )
+    # repartition after read: the cached corpus is one ~100MB parquet file,
+    # which maxPartitionBytes turns into 1-2 scan partitions — every
+    # downstream stage would inherit that and run on 2 tasks regardless of
+    # core count (measured: signatures stage flat from 8 to 32 cores)
+    par = spark.sparkContext.defaultParallelism * 2
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
-        return spark.read.parquet(cache)
+        return spark.read.parquet(cache).repartition(par, "url")
 
     from pyspark.sql import functions as F
 
@@ -97,7 +102,7 @@ def _build_bench_corpus(spark, n_docs: int):
     )
     pages = base.unionByName(dups)
     pages.write.mode("overwrite").parquet(cache)
-    return spark.read.parquet(cache)
+    return spark.read.parquet(cache).repartition(par, "url")
 
 
 def main() -> None:

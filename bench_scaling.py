@@ -23,22 +23,31 @@ sys.path.insert(0, "/root/repo")
 from genome_deduplication_spark.config import DedupConfig
 from genome_deduplication_spark.plans.pipeline import dedup_pipeline
 from genome_deduplication_spark.session import get_spark
+from genome_deduplication_spark.sources.checkpoint import RunContext
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 8))
+marks = {}
+_orig_stage = RunContext.stage
+def _timed(self, name, build):
+    s0 = time.time(); out = _orig_stage(self, name, build)
+    marks[name] = round(time.time() - s0, 1); return out
+RunContext.stage = _timed
 sys.path.insert(0, os.path.dirname("/root/repo/"))
 import importlib
 bench = importlib.import_module("bench")
 pages = bench._build_bench_corpus(spark, n_docs).localCheckpoint(eager=True)
 n = pages.count()
+import tempfile
 t0 = time.time()
-tables = dedup_pipeline(pages, DedupConfig(), run_dir=None)
+tables = dedup_pipeline(pages, DedupConfig(), run_dir=tempfile.mkdtemp())
 nc = tables["clusters"].count()
 dt = time.time() - t0
 print("RESULT " + json.dumps({"cpus": cpus, "docs": n, "sec": round(dt, 3),
                               "docs_per_sec": round(n / dt, 1),
-                              "clusters": nc}))
+                              "clusters": nc, "stages": marks}))
 spark.stop()
 """
 

@@ -28,7 +28,7 @@ Scale design (north_star requirements):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genome_deduplication_spark.config import DedupConfig
@@ -59,6 +59,10 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig,
     )
 
 
+CLIQUE_BUDGET = 50  # full clique for buckets with <= this many members
+DROP_CAP = 100_000  # buckets beyond this are degenerate mega-templates
+
+
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
                     id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared band buckets.
@@ -69,31 +73,54 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     quadratic), which is what makes mega-buckets survivable at 10^12 docs;
     connected components recovers the full group transitively, and the
     verification stage sees only O(m) pairs per bucket.
+
+    Physical shape: a guarded two-phase aggregate — (1) bucket counts
+    (map-side combinable; buckets above DROP_CAP are dropped before any
+    member list exists, so no reducer ever materializes a mega-bucket),
+    (2) sorted capped member arrays, pairs generated JVM-side by array
+    transforms. One wide shuffle + one co-partitioned join, vs. the naive
+    window-sort + self-join + distinct (4 shuffles, one of them a full sort).
     """
     buckets = band_buckets(signatures, cfg, id_col, sig_col)
 
-    w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
-    ranked = buckets.withColumn("rnk", F.row_number().over(w))
-    capped = ranked.where(F.col("rnk") <= cfg.max_bucket_size)
-
-    # full clique for small buckets: self-join capped bucket members
-    a = capped.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"),
-        F.col("rnk").alias("rnk_a"),
+    counts = buckets.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    b = capped.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"),
-        F.col("rnk").alias("rnk_b"),
+    ok = counts.where(F.col("_n") <= DROP_CAP).select("band_id", "band_hash")
+    # same join key as the groupBy -> exchange reuse, no extra shuffle
+    members = (
+        buckets.join(ok, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, cfg.max_bucket_size
+            ).alias("m")
+        )
+        .where(F.size("m") >= 2)
     )
-    clique_budget = 50  # full clique for buckets with <= this many members
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("rnk_a") < F.col("rnk_b"))
-        .where((F.col("rnk_b") <= clique_budget) | (F.col("rnk_a") == 1))
-        .select("id_a", "id_b")
+    sz = F.size("m")
+    star = F.transform(
+        F.slice(F.col("m"), 2, cfg.max_bucket_size),
+        lambda x: F.struct(
+            F.element_at(F.col("m"), 1).alias("id_a"), x.alias("id_b")
+        ),
+    )
+    clique = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                # i is 0-based; successors of x start at 1-based pos i+2
+                F.slice(F.col("m"), i + 2, cfg.max_bucket_size),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pair_arr = F.when(sz <= CLIQUE_BUDGET, clique).otherwise(star)
+    return (
+        members.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def bucket_stats(signatures: DataFrame, cfg: DedupConfig,

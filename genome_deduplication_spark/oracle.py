@@ -134,14 +134,23 @@ def minhash_lsh_pairs(docs: dict[str, str], cfg: DedupConfig) -> set[tuple[str, 
         for b in range(cfg.bands):
             band = tuple(sig[b * cfg.rows_per_band : (b + 1) * cfg.rows_per_band])
             buckets[(b, band)].append(u)
+    # mirror operators/lsh.candidate_pairs exactly: sorted members capped at
+    # max_bucket_size; full clique for small buckets, star around the
+    # minimum member for larger ones (CC restores transitivity)
+    from genome_deduplication_spark.operators.lsh import CLIQUE_BUDGET
+
     cand: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
         ms = sorted(members)[: cfg.max_bucket_size]
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                cand.add((ms[i], ms[j]))
+        if len(ms) <= CLIQUE_BUDGET:
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i], ms[j]))
+        else:
+            for j in range(1, len(ms)):
+                cand.add((ms[0], ms[j]))
     out = set()
     for a, b in cand:
         sa, sb = sigs[a], sigs[b]

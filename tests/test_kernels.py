@@ -133,6 +133,53 @@ def test_doc_signature_udf_matches_python_twins(spark):
         assert set(r["an"]) == want_anchors
 
 
+def test_mersenne_mod_equals_modulo():
+    """The fast-fold reduction must be bit-exact vs `%` over the full
+    (a*h+b) input range, including edge values."""
+    import numpy as np
+
+    from genome_deduplication_spark.config import MERSENNE31 as P
+    from genome_deduplication_spark.functions.signatures import (
+        _mersenne_mod_inplace,
+    )
+
+    rng = random.Random(31)
+    edge = [0, 1, P - 1, P, P + 1, 2 * P, (1 << 62) - 1, (1 << 61), 1 << 31]
+    rand = [rng.randrange(0, 1 << 62) for _ in range(10000)]
+    x = np.array(edge + rand, dtype=np.uint64)
+    out = np.empty_like(x)
+    tmp = np.empty_like(x)
+    got = _mersenne_mod_inplace(x.copy(), out, tmp)
+    want = x % np.uint64(P)
+    assert (got == want).all()
+
+
+def test_blocked_kernel_matches_python_across_block_boundaries():
+    """Rows straddling cache-block boundaries must produce identical
+    signatures (block size is an implementation detail)."""
+    import numpy as np
+
+    from genome_deduplication_spark.functions import signatures as S
+    from genome_deduplication_spark.functions.minhash import minhash_py
+    from genome_deduplication_spark.functions.simhash import simhash_py
+
+    rng = random.Random(17)
+    a_list, b_list = CFG.minhash_coefficients()
+    a = np.array(a_list, dtype=np.int64)
+    b = np.array(b_list, dtype=np.int64)
+    # mix of tiny rows and one row larger than the block budget
+    rows = [sorted(rng.sample(range(1, 2**31 - 1), n))
+            for n in (3, 500, S._BLOCK_ELEMS + 1000, 7, 2000)]
+    lengths = np.array([len(r) for r in rows])
+    flat = np.concatenate([np.array(r, dtype=np.uint64) for r in rows])
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    sigs, sims = S.minhash_simhash_blocked(flat, starts, lengths, a, b,
+                                           CFG.num_perm, 64)
+    for i, r in enumerate(rows):
+        assert sigs[i].tolist() == minhash_py(r, CFG), i
+        assert int(sims[i]) == simhash_py(r, 64), i
+
+
 def test_lsh_threshold_curve_sane():
     cfg = DedupConfig()
     # at j = threshold the curve should be steep and high

@@ -96,6 +96,33 @@ def test_components_for_string_ids(spark):
     }
 
 
+def test_candidate_pairs_star_and_clique_policy(spark):
+    """Small buckets emit full cliques; big buckets emit a star around the
+    minimum member (bounded edges; CC restores transitivity)."""
+    from genome_deduplication_spark.config import DedupConfig
+    from genome_deduplication_spark.operators.lsh import (
+        CLIQUE_BUDGET,
+        candidate_pairs,
+    )
+
+    cfg = DedupConfig()
+    # identical minhash -> members share every band bucket
+    sig = [7] * cfg.num_perm
+    small = [(f"s{i:02d}", sig) for i in range(4)]
+    big = [(f"b{i:03d}", [9] * cfg.num_perm) for i in range(CLIQUE_BUDGET + 5)]
+    df = spark.createDataFrame(small + big, "url string, minhash array<bigint>")
+    got = {(r["id_a"], r["id_b"]) for r in candidate_pairs(df, cfg).collect()}
+    want = set()
+    ms = sorted(u for u, _ in small)
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            want.add((ms[i], ms[j]))
+    mb = sorted(u for u, _ in big)
+    for j in range(1, len(mb)):
+        want.add((mb[0], mb[j]))
+    assert got == want
+
+
 def test_suffix_array_lcs():
     assert longest_common_substring_len("hello world", "say hello there") == 6
     assert longest_common_substring_len("abc", "xyz") == 0

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from genome_deduplication_spark.config import DedupConfig
+from genome_deduplication_spark.fixtures.pages import (
+    fx_exact,
+    fx_internal_repeat,
+    pages_df,
+)
+from genome_deduplication_spark.operators.spans import (
+    coverage_gaps,
+    self_repeat_spans,
+    self_repeat_spans_py,
+)
+from genome_deduplication_spark.plans.dataset_build import (
+    build_training_corpus,
+    extract_span_text,
+)
+from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+
+
+def test_self_repeat_spans_py_finds_planted_block():
+    block = "the quick brown fox jumps over the lazy dog again and again ok"
+    text = block + " filler words here " + block
+    spans = self_repeat_spans_py(text, min_len=30)
+    assert spans, "planted repeat not found"
+    # both occurrences covered
+    assert any(s <= 0 < e for s, e in spans)
+    assert any(s <= text.rindex(block) < e for s, e in spans)
+    assert self_repeat_spans_py("all unique words here", 10) == []
+
+
+def test_self_repeat_spans_operator(spark):
+    corpus = fx_internal_repeat(seed=42, docs=10)
+    df = pages_df(spark, corpus)
+    # fixture blocks are 20-60 words (>=100 chars); filler 50-150 words
+    out = self_repeat_spans(df, min_len=100)
+    urls_with_repeats = {r["url"] for r in out.select("url").distinct().collect()}
+    assert len(urls_with_repeats) >= 8  # most planted docs detected
+    assert urls_with_repeats <= {r["url"] for r in corpus.truth_clusters}
+
+
+def test_coverage_gaps(spark):
+    docs = spark.createDataFrame(
+        [("a", "x" * 100), ("b", "y" * 50)], "url string, text string"
+    )
+    spans = spark.createDataFrame(
+        [("a", 0, 40), ("a", 40, 100), ("b", 10, 20)],
+        "url string, start bigint, end bigint",
+    )
+    gaps = {(r["url"], r["start"], r["end"]) for r in coverage_gaps(spans, docs).collect()}
+    assert gaps == {("b", 0, 10), ("b", 20, 50)}  # 'a' fully tiled
+
+
+def test_extract_span_text(spark):
+    docs = spark.createDataFrame([("a", "hello world")], "url string, text string")
+    spans = spark.createDataFrame([("a", 6, 11)], "url string, start bigint, end bigint")
+    rows = extract_span_text(docs, spans).collect()
+    assert rows[0]["span_text"] == "world"
+
+
+def test_build_training_corpus(spark):
+    corpus = fx_exact(seed=42, groups=10, copies=3)
+    df = pages_df(spark, corpus)
+    tables = dedup_pipeline(df, DedupConfig(), run_dir=None,
+                            enable_substring_pass=False)
+    out = build_training_corpus(df, tables["clusters"], dev_pct=0.2, max_dev=3)
+    rows = out.collect()
+    assert len(rows) == 10  # one canonical per cluster
+    assert sum(1 for r in rows if r["split"] == "dev") == 2  # 20% of 10
+    # deterministic shuffle key
+    out2 = build_training_corpus(df, tables["clusters"], dev_pct=0.2, max_dev=3)
+    assert {(r["url"], r["shuffle_key"]) for r in rows} == {
+        (r["url"], r["shuffle_key"]) for r in out2.collect()
+    }
