@@ -62,11 +62,16 @@ def dedup_pipeline(
         RunContext(spark, run_dir, cfg.to_json()) if run_dir is not None else None
     )
 
-    def stage(name: str, build):
+    def stage(name: str, build, reused: bool = True):
         if ctx is None:
-            # no durable checkpoint requested: still cut lineage + cache the
-            # stage output so downstream actions don't recompute the DAG
-            return build().localCheckpoint(eager=False)
+            # No durable checkpoint requested. Cache only stages that are
+            # consumed by more than one downstream action — checkpointing a
+            # single-consumer stage adds a driver barrier job for nothing
+            # and blocks Catalyst from fusing it into its consumer.
+            # (Measured: the driver-side fixed cost of these barriers is
+            # what caps local scaling efficiency — see BENCH.md.)
+            df = build()
+            return df.localCheckpoint(eager=False) if reused else df
         return ctx.stage(name, build)
 
     def metrics(name: str, **kv):
@@ -150,7 +155,7 @@ def dedup_pipeline(
         # here since reps are one-per-hash, so nothing to subtract)
         return pairs
 
-    lsh_pairs = stage("lsh_pairs", _lsh_pairs)
+    lsh_pairs = stage("lsh_pairs", _lsh_pairs, reused=False)
     metrics(
         "candidates",
         exact_edges=exact_edges.count,
@@ -192,7 +197,7 @@ def dedup_pipeline(
                 todo, docs, cfg.min_common_substring, id_col="url"
             )
 
-        substr = stage("substring", _substr)
+        substr = stage("substring", _substr, reused=False)
         substr_edges = substr.where("is_substring_dup").select("id_a", "id_b")
         metrics(
             "substring",
@@ -209,7 +214,7 @@ def dedup_pipeline(
     def _components():
         return components_for_string_ids(all_edges, docs.select("url"), id_col="url")
 
-    components = stage("components", _components)
+    components = stage("components", _components, reused=False)
 
     # -- 7 clusters: canonical = min(warc_ts, url) within each component ---------
     def _clusters():
