@@ -181,7 +181,9 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        # decimal(20,4) hashes identically in Spark and DuckDB; a rounded
+        # double can straddle a ULP boundary depending on summation order.
+        F.avg("n_chars").cast("decimal(20,4)").alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -573,8 +575,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT occ, count(*) AS n_shingles FROM counts GROUP BY occ
         """,
         "summary_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-                   round(avg(n_chars), 4) AS avg_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(avg(n_chars) AS DECIMAL(20,4)) AS avg_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,
