@@ -414,27 +414,59 @@ def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic [text analysis]: marker-word votes, 'und' when
-    none hit. Heuristic lives in functions/text.py; rows-only driver check
-    (the array-of-struct argmax is awkward to mirror exactly in DuckDB)."""
+    none hit; argmax tie-break = lexicographically greatest language code
+    (Spark's struct array_max ordering, mirrored by the oracle's CASE
+    chain). Heuristic lives in functions/text.py."""
     from genome_deduplication_spark.functions.text import lang_id
 
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
+ANN_N_PLANTED = 250   # vectors vec_id < this get a perturbed twin
+ANN_ID_OFFSET = 1000  # planted twin id = vec_id + offset
+ANN_NOISE_AMP = 0.02  # per-component noise amplitude (unit-norm corpus)
+
+
+def _ann_noise_spark(vec_id, j1):
+    """Deterministic perturbation, identical in Spark and DuckDB: a
+    keyed-uniform in [-amp/2, amp/2) from the shared md5 hash60."""
+    key = F.concat(
+        F.lit("n"), vec_id.cast("string"), F.lit("_"), j1.cast("string")
+    )
+    u = (hash60(key) % F.lit(10007)) / F.lit(10007.0)
+    return (u - F.lit(0.5)) * F.lit(ANN_NOISE_AMP)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors [similarity search, scale path]:
-    hyperplane-LSH bucketed cosine top-3 for query vectors vec_id < 100.
-    Deterministic given the seed; rows-only driver check (approximation has
-    no exact SQL twin — the brute-force twin is q_embedding_cosine_topk)."""
-    from genome_deduplication_spark.operators.similarity import cosine_topk_lsh
+    """Approximate near-dup retrieval [similarity search, scale path]:
+    hyperplane-LSH bucketed cosine over the corpus plus planted perturbed
+    twins (cos ~0.999 vs background <=0.5), emitting pairs with sim >= 0.9.
+    The planted twins are derived deterministically from the shared md5
+    hash60 so the DuckDB oracle reconstructs the identical corpus and checks
+    the pair set brute-force; at this similarity gap the LSH pair set equals
+    the exact one (miss prob per planted pair ~1e-12 at 8x2-bit bands, and
+    the run is seed-deterministic). Integer-only output — hash-exact."""
+    from genome_deduplication_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return cosine_topk_lsh(
-        emb.where("vec_id < 100"), emb, k=3, dim=dim, n_bits=16, bands=8,
-        seed=CFG.seed,
-    ).select("q_id", "n_id", "rank", F.round("sim", 5).alias("sim"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.where(F.col("vec_id") < ANN_N_PLANTED).select(
+        (F.col("vec_id") + ANN_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + _ann_noise_spark(F.col("vec_id"), i + 1)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    return embedding_near_dup_pairs(
+        corpus, sim_threshold=0.9, id_col="vec_id", vec_col="v",
+        dim=64, n_bits=16, bands=8, seed=CFG.seed,
+    )
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,10 +776,99 @@ def oracle_sql() -> dict[str, str]:
              AND (a.k < b.k OR (a.k = b.k AND a.ln < b.ln))
             GROUP BY a.l_suppkey
         """,
-        # near_dup_clusters intentionally omitted: pandas-UDF MinHash + LSH +
-        # iterative connected components are not ANSI-SQL-expressible; the
-        # driver records the rows-only check and tests/test_pipeline.py holds
-        # the differential correctness evidence.
+        "lang_id": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            t AS (SELECT doc_id, string_split(s, ' ') AS toks FROM nrm),
+            sc AS (
+              SELECT doc_id,
+                len(list_filter(['the','and','of','to','is'],
+                                m -> list_contains(toks, m))) AS s_en,
+                len(list_filter(['el','la','de','que','los'],
+                                m -> list_contains(toks, m))) AS s_es,
+                len(list_filter(['der','die','und','das','ist'],
+                                m -> list_contains(toks, m))) AS s_de,
+                len(list_filter(['le','la','les','des','est'],
+                                m -> list_contains(toks, m))) AS s_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM sc
+        """,
+        "ann_lsh_topk": f"""
+            WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            flat AS (SELECT vec_id, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS j
+                     FROM v0 WHERE vec_id < {ANN_N_PLANTED}),
+            der0 AS (
+              SELECT vec_id AS vid,
+                     list(x + (({_h60_duck("concat('n', CAST(vec_id AS VARCHAR), '_', CAST(j AS VARCHAR))")} % 10007)
+                               / 10007.0 - 0.5) * {ANN_NOISE_AMP} ORDER BY j)
+                       AS v
+              FROM flat GROUP BY 1
+            ),
+            der AS (SELECT vid + {ANN_ID_OFFSET} AS vec_id, v FROM der0),
+            corpus AS (SELECT vec_id, v FROM v0
+                       UNION ALL SELECT vec_id, v FROM der),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                  FROM corpus)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        """,
+        # near_dup_clusters: planted-truth oracle. The pipeline itself
+        # (pandas-UDF MinHash + LSH + iterative CC) is not SQL-expressible,
+        # but on this corpus the true pair structure is separable (measured:
+        # every near-dup pair has exact char-9 Jaccard >= 0.92, every
+        # non-dup pair <= 0.35, vs threshold 0.8), so the clusters the
+        # pipeline MUST produce are exactly the connected components of
+        # {{exact-text pairs}} U {{exact-Jaccard >= threshold pairs}} — which
+        # DuckDB computes brute-force with a recursive-CTE closure. The
+        # canonical id mirrors the pipeline's min(warc_ts, url)-as-string
+        # election (constant warc_ts here -> lexicographic min url).
+        "near_dup_clusters": f"""
+            WITH RECURSIVE
+            nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            ok AS (SELECT doc_id, s FROM nrm
+                   WHERE s IS NOT NULL AND len(s) >= {K}),
+            pos AS (SELECT doc_id, s,
+                           unnest(range(1, len(s) - {K} + 2)) AS i
+                    FROM ok),
+            sh AS (SELECT DISTINCT doc_id,
+                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
+                   FROM pos),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT da AS a, db AS b
+              FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              WHERE c * 1.0 / (x.n + y.n - c) >= {CFG.jaccard_threshold}
+            ),
+            ex AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM ok x JOIN ok y ON x.s = y.s AND x.doc_id < y.doc_id
+            ),
+            edges AS (SELECT a, b FROM near UNION SELECT a, b FROM ex),
+            sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM ok
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+            )
+            SELECT src AS doc_id,
+                   CAST(min(CAST(dst AS VARCHAR)) AS BIGINT) AS cluster_id,
+                   count(DISTINCT dst) AS cluster_size
+            FROM reach GROUP BY src
+        """,
     }
 
 

@@ -134,13 +134,19 @@ def dedup_pipeline(
     # no LSH needed; also collapse exact groups to one LSH representative so
     # a 10^6-copy mega-duplicate costs one signature in every band bucket.
     def _exact_edges():
-        grp = signatures.groupBy("content_hash").agg(
-            F.min(F.struct("warc_ts", "url")).alias("_c"),
-            F.collect_list("url").alias("members"),
-        )
+        # star edges canonical->member via a join-back, NOT collect_list:
+        # a 10^8-copy boilerplate page must not materialize its whole member
+        # list in one reducer row (multi-GB single row -> OOM). The hash
+        # aggregation and the join both shuffle on content_hash, so AQE
+        # reuses the partitioning; skewed hashes split via AQE skew handling.
+        canon = signatures.groupBy("content_hash").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_c")
+        ).select("content_hash", F.col("_c.url").alias("id_a"))
         return (
-            grp.select(F.col("_c.url").alias("id_a"), F.explode("members").alias("id_b"))
+            signatures.select("content_hash", F.col("url").alias("id_b"))
+            .join(canon, "content_hash")
             .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
         )
 
     exact_edges = stage("exact_edges", _exact_edges)
