@@ -38,9 +38,10 @@ class DedupConfig:
     # SimHash: signature bits and max Hamming distance for verification
     simhash_bits: int = 64
     simhash_max_hamming: int = 8
-    # suffix-array exact-substring pass: minimum shared-substring length
-    # (chars). Must exceed common boilerplate header/footer length or every
-    # templated site becomes one giant substring-dup cluster.
+    # suffix-array exact-substring pass: minimum shared-substring length in
+    # UTF-8 BYTES (the span unit contract — lcs_len and all span offsets are
+    # byte-based). Must exceed common boilerplate header/footer length or
+    # every templated site becomes one giant substring-dup cluster.
     min_common_substring: int = 120
     # substring candidates must share at least this many anchor shingles
     min_shared_anchors: int = 2

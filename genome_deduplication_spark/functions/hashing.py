@@ -44,6 +44,18 @@ def hash60_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def hash128(col: Column) -> Column:
+    """128-bit key as struct<hi,lo> of two independent xxhash64 streams.
+
+    For identity keys at the 10^12-doc design point: a single 64-bit (or
+    60-bit) key expects tens of thousands of birthday collisions there,
+    silently merging unrelated documents; at 128 bits the expectation is
+    ~1e-12. Structs of two longs group/join/compare natively in Spark."""
+    return F.struct(
+        F.xxhash64(col).alias("hi"), F.xxhash64(F.lit(1), col).alias("lo")
+    )
+
+
 def hash31(col: Column) -> Column:
     """Portable hash reduced mod 2**31-1 (MinHash input domain)."""
     return hash60(col) % F.lit(MERSENNE31)

@@ -36,7 +36,10 @@ def extract_text_from_html(html: Column) -> Column:
     (EXTRACTOR_VERSION), which is what the byte-identical-per-url invariant
     requires. Runs JVM-side (no Python in the hot path).
     """
-    s = F.decode(html, "UTF-8")
+    # lenient decode: real crawls contain malformed bytes, and one bad page
+    # must not fail the job (decode() throws under ANSI; the binary->string
+    # cast + make_valid_utf8 substitutes U+FFFD deterministically)
+    s = F.make_valid_utf8(html.cast("string"))
     s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")

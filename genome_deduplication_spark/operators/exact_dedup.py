@@ -18,13 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from genome_deduplication_spark.functions.hashing import hash60
+from genome_deduplication_spark.functions.hashing import hash128
 from genome_deduplication_spark.functions.text import normalize_text
 
 
 def content_key(text: Column) -> Column:
-    """Portable content hash of normalized text."""
-    return hash60(normalize_text(text))
+    """128-bit content hash of normalized text (struct<hi,lo>): at the
+    10^12-doc design point a 60/64-bit key silently false-merges tens of
+    thousands of unrelated documents (birthday bound); 128 bits puts the
+    expectation at ~1e-12. Oracle-facing queries keep the portable 60-bit
+    md5 hash (hash60) where DuckDB must recompute the value — collisions
+    are impossible at oracle scale."""
+    return hash128(normalize_text(text))
 
 
 def exact_dup_clusters(

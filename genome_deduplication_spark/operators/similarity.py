@@ -18,7 +18,10 @@ as literals — the broadcast-permutation-matrix pattern at tiny size.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,6 +89,49 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return out
 
 
+# above this dim the literal expression tree (dim x n_bits F.lit nodes)
+# bloats the Catalyst plan — switch to an Arrow kernel with the matrix
+# closure-captured (the broadcast-permutation-matrix pattern)
+_SKETCH_LITERAL_MAX_DIM = 128
+
+
+def hyperplane_sketch_udf(planes: np.ndarray):
+    """Pandas-UDF sign sketch for high-dim embeddings: one Arrow batch
+    matmul against the closure-captured (n_bits, dim) matrix; identical
+    output to the literal-expression path (property-tested)."""
+    weights = np.ascontiguousarray(planes.T)  # (dim, n_bits)
+    powers = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf("long")
+    def _sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            vals = s.to_numpy()
+            out = np.zeros(len(vals), dtype=np.int64)
+            ok = np.array([v is not None for v in vals])
+            if ok.any():
+                mat = np.stack(
+                    [np.asarray(vals[i], dtype=np.float64)
+                     for i in np.flatnonzero(ok)]
+                )
+                bits = (mat @ weights) > 0  # (rows, n_bits)
+                out[ok] = (bits.astype(np.uint64) * powers).sum(
+                    axis=1
+                ).astype(np.int64)
+            yield pd.Series(out)
+
+    return _sketch
+
+
+def sketch_column(vec_col: Column, planes: np.ndarray) -> Column:
+    """Pick the sketch implementation by dimension: JVM literal expressions
+    for small dims (whole-stage codegen, no Python), Arrow matmul kernel
+    when the literal tree would explode the plan (dim > 128 at real
+    embedding widths 768-4096)."""
+    if planes.shape[1] <= _SKETCH_LITERAL_MAX_DIM:
+        return hyperplane_sketch(vec_col, planes)
+    return hyperplane_sketch_udf(planes)(vec_col)
+
+
 def hyperplane_sketch(
     vec_col: Column, planes: np.ndarray
 ) -> Column:
@@ -134,7 +180,7 @@ def cosine_topk_lsh(
 
     def sketch_bands(df: DataFrame, side: str) -> DataFrame:
         nm = with_norm(df, vec_col)
-        sk = nm.withColumn("_sketch", hyperplane_sketch(F.col("_v"), planes))
+        sk = nm.withColumn("_sketch", sketch_column(F.col("_v"), planes))
         band_arr = F.array(
             *[
                 F.struct(

@@ -3,7 +3,8 @@ of the reference's output model (4 BED files per input,
 code/dedup2.py:280-310).
 
 The web-text output model (SURVEY.md §1.5) is a `spans` table
-(url, start, end, kind) with kind in {self_repeat, masked, ambiguous}:
+(url, start, end, kind) with kind in {sample, masked, ignored, ambiguous}
+(:func:`build_spans_table` — the reference's full 4-way partition):
 
 * `self_repeat_spans` — maximal repeated blocks *within* one document, the
   internal-repeat case the reference's v2 specifically distinguishes from
@@ -27,9 +28,14 @@ from genome_deduplication_spark.operators.suffix_array import lcp_array, suffix_
 
 
 def self_repeat_spans_py(text: str, min_len: int) -> list[tuple[int, int]]:
-    """Char spans [start, end) of blocks of length >= min_len that occur at
-    least twice in `text` (byte offsets; both occurrences reported).
-    Sequential kernel — runs inside the grouped-map UDF."""
+    """Spans [start, end) of blocks >= min_len that occur at least twice in
+    `text`; both occurrences reported, overlaps merged.
+
+    UNIT CONTRACT: all span offsets and min_len are UTF-8 BYTE offsets
+    (octets), end-exclusive — matching the suffix-array kernel, the
+    lcs_len/min_common_substring columns, coverage_gaps (octet_length) and
+    extract_span_text (byte slicing). On pure-ASCII text bytes == chars.
+    Sequential kernel — runs inside the vectorized map UDF."""
     if not text:
         return []
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
@@ -62,9 +68,12 @@ def self_repeat_spans(
     min_len: int,
     id_col: str = "url",
     text_col: str = "text",
-    n_buckets: int = 256,
 ) -> DataFrame:
-    """(url, start, end) spans of internal repeats >= min_len chars."""
+    """(url, start, end) spans of internal repeats >= min_len bytes.
+
+    Per-row kernel over mapInPandas: no group key, no shuffle, and
+    parallelism scales with the input partitioning instead of a fixed
+    bucket constant."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.StringType()),
@@ -73,19 +82,72 @@ def self_repeat_spans(
         ]
     )
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_s, out_e = [], [], []
-        for u, t in zip(pdf[id_col], pdf[text_col]):
-            for s, e in self_repeat_spans_py(t or "", min_len):
-                out_id.append(u)
-                out_s.append(s)
-                out_e.append(e)
-        return pd.DataFrame({id_col: out_id, "start": out_s, "end": out_e})
+    def _kernel(it):
+        for pdf in it:
+            out_id, out_s, out_e = [], [], []
+            for u, t in zip(pdf[id_col], pdf[text_col]):
+                for s, e in self_repeat_spans_py(t or "", min_len):
+                    out_id.append(u)
+                    out_s.append(s)
+                    out_e.append(e)
+            yield pd.DataFrame({id_col: out_id, "start": out_s, "end": out_e})
 
-    bucketed = docs.select(id_col, text_col).withColumn(
-        "_g", F.pmod(F.xxhash64(id_col), F.lit(n_buckets))
+    return docs.select(id_col, text_col).mapInPandas(_kernel, schema)
+
+
+def build_spans_table(
+    normalized: DataFrame,
+    clusters: DataFrame,
+    ambiguous: DataFrame,
+    min_repeat_len: int,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's 4-way output partition (code/dedup2.py:17-31,480-485
+    writes samples/masks/ignored/ambiguous BED files per input): every byte
+    of every document lands in exactly one span kind.
+
+      sample     kept content of canonical docs (the training corpus)
+      masked     internal-repeat blocks within canonical docs (D2 analogue)
+      ignored    whole non-canonical cluster members — content suppressed
+                 because its duplicate appeared earlier (first-occurrence-
+                 wins), the reference's 'ignored' region class
+      ambiguous  docs that failed normalization (null / below shingle width)
+
+    Inputs are the pipeline's stage tables: `normalized` (url, text after
+    normalize — span offsets are UTF-8 bytes of THIS text), `clusters`
+    (url, cluster_id), `ambiguous` (url, text). Output:
+    (url, start, end, kind) tiling [0, octet_length) of every doc.
+    """
+    def whole(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("start"),
+            F.octet_length(text_col).cast("long").alias("end"),
+            F.lit(kind).alias("kind"),
+        ).where(F.col("end") > 0)
+
+    members = clusters.select(id_col, "cluster_id")
+    noncanon = members.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    canon = members.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
+
+    docs = normalized.select(id_col, text_col)
+    ignored = whole(docs.join(noncanon, id_col, "left_semi"), "ignored")
+    amb = whole(ambiguous.select(id_col, text_col), "ambiguous")
+
+    canon_docs = docs.join(canon, id_col, "left_semi")
+    # reused by both the output union and the complement — don't run the
+    # suffix-array kernel twice
+    masked = self_repeat_spans(
+        canon_docs, min_repeat_len, id_col, text_col
+    ).localCheckpoint(eager=False)
+    sample = coverage_gaps(masked, canon_docs, id_col, text_col)
+    return (
+        masked.withColumn("kind", F.lit("masked"))
+        .unionByName(sample.withColumn("kind", F.lit("sample")))
+        .unionByName(ignored)
+        .unionByName(amb)
     )
-    return bucketed.groupBy("_g").applyInPandas(_kernel, schema)
 
 
 def coverage_gaps(
@@ -95,9 +157,12 @@ def coverage_gaps(
     text_col: str = "text",
 ) -> DataFrame:
     """Uncovered [start, end) gaps per doc given a spans table — empty
-    result means the spans tile every document (check-5 analogue)."""
+    result means the spans tile every document (check-5 analogue).
+
+    Offsets are UTF-8 byte offsets (the span unit contract), so document
+    length is octet_length, not char length."""
     merged = merge_intervals(spans, key_col=id_col)
-    lens = docs.select(id_col, F.length(text_col).alias("_len"))
+    lens = docs.select(id_col, F.octet_length(text_col).alias("_len"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy("start")

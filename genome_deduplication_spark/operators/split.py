@@ -32,6 +32,9 @@ def seeded_shuffle(df: DataFrame, seed: int, *key_cols: str) -> DataFrame:
     return df.orderBy(keyed_uniform(seed, *[F.col(c) for c in key_cols]), *key_cols)
 
 
+_SPLIT_BUCKETS = 8192
+
+
 def train_dev_split(
     df: DataFrame,
     dev_pct: float,
@@ -39,15 +42,52 @@ def train_dev_split(
     seed: int,
     key_col: str = "url",
 ) -> DataFrame:
-    """Tag each row 'dev' or 'train'; dev = dev_pct of rows capped at max_dev,
-    chosen by seeded shuffle order (R2: head -n dev / tail train)."""
-    w = Window.orderBy(keyed_uniform(seed, F.col(key_col)), F.col(key_col))
-    ranked = df.withColumn("_rk", F.row_number().over(w))
-    n = df.count()
+    """Tag each row 'dev' or 'train'; dev = the n_dev smallest rows by
+    (keyed_uniform, key) with n_dev = min(n * dev_pct, max_dev) — i.e. the
+    reference's seeded-shuffle head (R2: head -n dev / tail train).
+
+    Scale shape: NO global window. The selection is exact via a bucket
+    histogram of the uniform key: one aggregation counts rows per bucket
+    (<= _SPLIT_BUCKETS rows to the driver), the driver locates the bucket
+    containing the n_dev-th row, and only that single bounded bucket
+    (~n / _SPLIT_BUCKETS rows) is ranked — with a *partitioned* window.
+    Everything else is a stateless per-row comparison."""
+    u = keyed_uniform(seed, F.col(key_col))
+    dfu = df.withColumn("_u", u).withColumn(
+        "_b", F.floor(F.col("_u") * _SPLIT_BUCKETS).cast("int")
+    )
+    hist = {
+        r["_b"]: r["cnt"]
+        for r in dfu.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(hist.values())
     n_dev = min(int(n * dev_pct), max_dev)
-    return ranked.withColumn(
-        "split", F.when(F.col("_rk") <= n_dev, F.lit("dev")).otherwise(F.lit("train"))
-    ).drop("_rk")
+    if n_dev <= 0:
+        return df.withColumn("split", F.lit("train"))
+
+    cum = 0
+    t, r_in_t = _SPLIT_BUCKETS, 0  # boundary bucket + rows needed inside it
+    for b in sorted(hist):
+        if cum + hist[b] >= n_dev:
+            t, r_in_t = b, n_dev - cum
+            break
+        cum += hist[b]
+
+    below = dfu.where(F.col("_b") != t).withColumn(
+        "split",
+        F.when(F.col("_b") < t, F.lit("dev")).otherwise(F.lit("train")),
+    )
+    w = Window.partitionBy("_b").orderBy("_u", key_col)
+    border = (
+        dfu.where(F.col("_b") == t)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "split",
+            F.when(F.col("_rk") <= r_in_t, F.lit("dev")).otherwise(F.lit("train")),
+        )
+        .drop("_rk")
+    )
+    return below.unionByName(border).drop("_u", "_b")
 
 
 def sample_exact_n(df: DataFrame, n: int, seed: int, key_col: str = "url") -> DataFrame:

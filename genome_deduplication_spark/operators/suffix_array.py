@@ -26,17 +26,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def suffix_array(data: np.ndarray) -> np.ndarray:
-    """Prefix-doubling suffix array over an int array (O(n log^2 n))."""
+def _suffix_array_ranks(
+    data: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Prefix-doubling suffix array (O(n log^2 n)) + rank history.
+
+    Returns (sa, ranks) where ranks is [(width, r)] and r[i] == r[j] iff
+    data[i:i+width] == data[j:j+width] — the sparse table the vectorized
+    LCP walk consumes (no per-character Python loop anywhere).
+    """
     n = len(data)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
-    rank = np.argsort(data, kind="stable")
-    # initial ranks by value
-    key = data
-    order = np.argsort(key, kind="stable")
+        return np.empty(0, dtype=np.int64), []
+    order = np.argsort(data, kind="stable")
     r = np.empty(n, dtype=np.int64)
-    r[order] = np.cumsum(np.concatenate(([0], (np.diff(key[order]) != 0).astype(np.int64))))
+    r[order] = np.cumsum(
+        np.concatenate(([0], (np.diff(data[order]) != 0).astype(np.int64)))
+    )
+    ranks: list[tuple[int, np.ndarray]] = [(1, r.astype(np.int32))]
     k = 1
     while k < n:
         key2 = np.full(n, -1, dtype=np.int64)
@@ -47,34 +54,55 @@ def suffix_array(data: np.ndarray) -> np.ndarray:
         newr[order] = np.cumsum(
             np.concatenate(([0], (np.diff(comp[order]) != 0).astype(np.int64)))
         )
-        if newr[order[-1]] == n - 1:
-            r = newr
-            break
         r = newr
         k *= 2
+        ranks.append((k, r.astype(np.int32)))
+        if r[order[-1]] == n - 1:
+            break
     sa = np.empty(n, dtype=np.int64)
     sa[r] = np.arange(n)
-    return sa
+    return sa, ranks
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix array over an int array (O(n log^2 n))."""
+    return _suffix_array_ranks(data)[0]
+
+
+def _lcp_from_ranks(
+    n: int, sa: np.ndarray, ranks: list[tuple[int, np.ndarray]]
+) -> np.ndarray:
+    """Vectorized LCP of adjacent SA entries via the doubling rank table.
+
+    Classic sparse-table walk, batched over all n-1 adjacent pairs at once:
+    descend widths; wherever rank_w[i] == rank_w[j] the pair shares a
+    w-prefix — advance both cursors by w and accumulate. O(n log n) numpy,
+    replacing the one-char-per-Python-iteration Kasai loop that dominated
+    the substring stage at scale.
+    """
+    if n < 2:
+        return np.zeros(n, dtype=np.int64)
+    i = sa[1:].copy()
+    j = sa[:-1].copy()
+    h = np.zeros(n - 1, dtype=np.int64)
+    for w, r in reversed(ranks):
+        alive = (i + w <= n) & (j + w <= n)
+        if not alive.any():
+            continue
+        eq = alive.copy()
+        eq[alive] = r[i[alive]] == r[j[alive]]
+        h[eq] += w
+        i[eq] += w
+        j[eq] += w
+    lcp = np.zeros(n, dtype=np.int64)
+    lcp[1:] = h
+    return lcp
 
 
 def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai's algorithm: LCP of adjacent suffixes in SA order."""
-    n = len(data)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        if rank[i] > 0:
-            j = sa[rank[i] - 1]
-            while i + h < n and j + h < n and data[i + h] == data[j + h]:
-                h += 1
-            lcp[rank[i]] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+    """LCP of adjacent suffixes in SA order (vectorized, see _lcp_from_ranks)."""
+    _, ranks = _suffix_array_ranks(data)
+    return _lcp_from_ranks(len(data), sa, ranks)
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
@@ -82,22 +110,17 @@ def longest_common_substring_len(a: str, b: str) -> int:
     if not a or not b:
         return 0
     xa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-    xb = np.frombuffer(b.encode("utf-8"), dtype=np.int64 if False else np.uint8).astype(np.int64)
+    xb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8).astype(np.int64)
     sep = np.array([256], dtype=np.int64)  # out-of-alphabet separator
     data = np.concatenate([xa, sep, xb])
     na = len(xa)
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
-    # adjacent suffixes from different docs
-    side = sa < na  # True = from a (separator position na belongs to neither)
+    sa, ranks = _suffix_array_ranks(data)
+    lcp = _lcp_from_ranks(len(data), sa, ranks)
+    # adjacent suffixes from different docs (separator belongs to neither)
     from_a = sa < na
     from_b = sa > na
-    best = 0
-    for i in range(1, len(sa)):
-        if (from_a[i] and from_b[i - 1]) or (from_b[i] and from_a[i - 1]):
-            if lcp[i] > best:
-                best = int(lcp[i])
-    return best
+    cross = (from_a[1:] & from_b[:-1]) | (from_b[1:] & from_a[:-1])
+    return int(lcp[1:][cross].max()) if cross.any() else 0
 
 
 def longest_self_repeat_len(a: str) -> int:
@@ -228,18 +251,19 @@ def exact_substring_pairs(
         ]
     )
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        lens = [
-            longest_common_substring_len(ta or "", tb or "")
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"])
-        ]
-        return pd.DataFrame(
-            {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "lcs_len": lens}
-        )
+    def _kernel(it):
+        for pdf in it:
+            lens = [
+                longest_common_substring_len(ta or "", tb or "")
+                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "lcs_len": lens}
+            )
 
-    # group by a hash bucket of the pair to bound group sizes and spread work
-    bucketed = joined.withColumn(
-        "_g", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(256))
-    )
-    out = bucketed.groupBy("_g").applyInPandas(_kernel, schema)
+    # the kernel is per-ROW (each pair independent), so mapInPandas — no
+    # group key, no shuffle, and parallelism scales with input partitions
+    # instead of a fixed bucket constant. Arrow batches bound memory; the
+    # upstream pair join already spread pairs across partitions.
+    out = joined.mapInPandas(_kernel, schema)
     return out.withColumn("is_substring_dup", F.col("lcs_len") >= F.lit(min_len))

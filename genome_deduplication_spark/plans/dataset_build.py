@@ -47,14 +47,22 @@ def extract_span_text(
     text_col: str = "text",
 ) -> DataFrame:
     """Project spans back to their text (S6, bedtools-getfasta analogue):
-    (url, start, end, span_text). start/end are 0-based char offsets,
-    end-exclusive; F.substring is 1-based."""
+    (url, start, end, span_text). start/end are 0-based UTF-8 BYTE offsets,
+    end-exclusive (the span unit contract — see operators/spans.py), so the
+    slice runs over the encoded bytes; substring on BINARY is byte-indexed
+    and 1-based. A boundary that splits a multi-byte char decodes to U+FFFD
+    — span producers emit byte-aligned repeats, so this only happens on
+    hand-made spans."""
     joined = spans.join(pages.select(id_col, text_col), id_col)
     return joined.select(
         id_col,
         "start",
         "end",
-        F.expr(
-            f"substring({text_col}, CAST(start + 1 AS INT), CAST(end - start AS INT))"
+        F.decode(
+            F.expr(
+                f"substring(encode({text_col}, 'UTF-8'),"
+                " CAST(start + 1 AS INT), CAST(end - start AS INT))"
+            ),
+            "UTF-8",
         ).alias("span_text"),
     )

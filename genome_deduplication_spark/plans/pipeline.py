@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from genome_deduplication_spark.config import DedupConfig
 from genome_deduplication_spark.functions.signatures import make_doc_signature_udf
-from genome_deduplication_spark.functions.text import normalize_text
+from genome_deduplication_spark.functions.text import (
+    extract_text_from_html,
+    normalize_text,
+)
 from genome_deduplication_spark.operators.connected_components import (
     components_for_string_ids,
 )
@@ -81,11 +84,21 @@ def dedup_pipeline(
             ctx.record_metrics(name, {k: v() for k, v in kv.items()})
 
     # -- 1 normalize ----------------------------------------------------------
+    # the reference's parse+clean entry (code/dedup2.py:461-468): when the
+    # page carries raw html and no pre-extracted text, the deterministic
+    # extractor produces it — same html bytes => same text for every url
+    # (the input_hint's byte-identical-extraction invariant; the extractor
+    # is versioned pure string algebra, functions/text.py EXTRACTOR_VERSION)
     def _normalize():
+        text_expr = normalize_text(F.col("text"))
+        if "html" in pages.columns:
+            text_expr = F.coalesce(
+                text_expr, extract_text_from_html(F.col("html"))
+            )
         norm = pages.select(
             "url",
             "warc_ts",
-            normalize_text(F.col("text")).alias("text"),
+            text_expr.alias("text"),
             "lang",
         )
         return norm.withColumn(

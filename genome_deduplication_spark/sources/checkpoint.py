@@ -60,14 +60,37 @@ class RunContext:
 
     def write_stage(self, stage: str, df: DataFrame) -> DataFrame:
         """Materialize a stage: parquet write + completion manifest, then
-        return the re-read DataFrame (cuts lineage like an Iceberg snapshot)."""
+        return the re-read DataFrame (cuts lineage like an Iceberg snapshot).
+
+        Per-partition lineage: one aggregation job over the written files
+        records (partition_id, rows) for every partition — the analogue of
+        the reference's per-file accounting that downstream scripts re-read
+        (code/dedup2.py:534-539). Replaces (not adds to) the plain count
+        job: total rows = the histogram's sum."""
+        from pyspark.sql import functions as F
+
         path = self._data_path(stage)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        self._append_counters(
+            {
+                "stage": stage,
+                "kind": "partition_rows",
+                "partition_id": int(r["partition_id"]),
+                "rows": int(r["rows"]),
+            }
+            for r in per_part
+        )
         manifest = {
             "stage": stage,
             "path": path,
-            "rows": out.count(),
+            "rows": int(sum(r["rows"] for r in per_part)),
+            "n_partitions": len(per_part),
             "schema": out.schema.json(),
             "completed_at_unix": time.time(),
         }
@@ -99,3 +122,22 @@ class RunContext:
             return []
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    # -- per-partition counters ------------------------------------------------
+
+    def _counters_path(self) -> str:
+        return os.path.join(self.run_dir, "counters.jsonl")
+
+    def _append_counters(self, rows) -> None:
+        with open(self._counters_path(), "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+    def read_counters(self, stage: str | None = None) -> list[dict]:
+        """Per-partition (stage, partition_id, rows) lineage rows; resumed
+        runs skip completed stages so counters are written exactly once."""
+        if not os.path.exists(self._counters_path()):
+            return []
+        with open(self._counters_path()) as f:
+            out = [json.loads(line) for line in f if line.strip()]
+        return [r for r in out if stage is None or r["stage"] == stage]

@@ -73,3 +73,28 @@ def test_manifest_source(spark, tmp_path):
     out, lineage = read_pages(spark, str(manifest))
     assert out.count() == 5
     assert lineage["missing_paths"] == [f"{tmp_path}/missing.parquet"]
+
+
+def test_per_partition_lineage_counters(spark, tmp_path):
+    """Every checkpointed stage records (partition_id, rows) lineage whose
+    sum equals the stage manifest's row count, written exactly once even
+    after a resume (reference per-file accounting, code/dedup2.py:534-539)."""
+    import json
+
+    run_dir = str(tmp_path / "run")
+    df = pages_df(spark, _corpus())
+    dedup_pipeline(df, CFG, run_dir=run_dir, enable_substring_pass=False)
+    ctx = RunContext(spark, run_dir, CFG.to_json())
+    counters = ctx.read_counters()
+    assert counters, "no lineage counters written"
+    stages = {c["stage"] for c in counters}
+    assert {"normalize", "signatures", "exact_edges", "clusters"} <= stages
+    for stage in stages:
+        manifest = json.load(open(os.path.join(run_dir, f"_STAGE_{stage}.json")))
+        rows = ctx.read_counters(stage)
+        assert sum(r["rows"] for r in rows) == manifest["rows"], stage
+        assert len({r["partition_id"] for r in rows}) == len(rows)
+    # resume: completed stages are reused, counters not duplicated
+    n_before = len(counters)
+    dedup_pipeline(df, CFG, run_dir=run_dir, enable_substring_pass=False)
+    assert len(ctx.read_counters()) == n_before

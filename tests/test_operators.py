@@ -150,6 +150,45 @@ def test_train_dev_split_deterministic(spark):
     assert d1 != d3
 
 
+def test_train_dev_split_matches_seeded_shuffle_head(spark):
+    """The bucket-histogram selection is exactly the old global-rank
+    semantics: dev = n_dev smallest rows by (keyed_uniform, key)."""
+    from genome_deduplication_spark.operators.split import keyed_uniform
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(300)], "url string")
+    got = {
+        r["url"]
+        for r in train_dev_split(df, 0.1, 1000, seed=7).where("split='dev'").collect()
+    }
+    order = sorted(
+        (r["_u"], r["url"])
+        for r in df.select("url", keyed_uniform(7, F.col("url")).alias("_u")).collect()
+    )
+    want = {u for _, u in order[:30]}
+    assert got == want
+
+
+def test_train_dev_split_has_no_global_window(spark):
+    """Scale guard: no un-partitioned Window anywhere in the library plan
+    (an empty windowspecdefinition partition clause funnels the whole
+    corpus through one task)."""
+    import re
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(50)], "url string")
+    plan = (
+        train_dev_split(df, 0.2, 10, seed=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # a partitioned spec lists partition cols before the ASC/DESC
+        # ordering cols; an un-partitioned one starts with an order col
+        first = args.split(",")[0].strip()
+        assert not first.endswith(("ASC NULLS FIRST", "DESC NULLS LAST")), plan
+
+
 def test_sample_exact_n_repartition_invariant(spark):
     df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "url string")
     a = {r["url"] for r in sample_exact_n(df, 25, seed=5).collect()}

@@ -103,3 +103,48 @@ def test_canonical_is_min_warc_ts_url(spark, mixed_result):
     )
     bad = canon.where(F.col("m.url") != F.col("cluster_id"))
     assert bad.count() == 0
+
+
+def test_html_extraction_drives_pipeline(spark):
+    """Stage-1 html->text path (reference parse+clean entry,
+    code/dedup2.py:461-468): with the text column nulled, the deterministic
+    extractor recovers the corpus and the pipeline finds the same clusters."""
+    from genome_deduplication_spark.fixtures.pages import fx_exact
+
+    corpus = fx_exact(seed=42, groups=8, copies=3)
+    df = pages_df(spark, corpus).withColumn("text", F.lit(None).cast("string"))
+    tables = dedup_pipeline(df, CFG, run_dir=None, enable_substring_pass=False)
+    got = {r["url"]: r["cluster_id"] for r in tables["clusters"].collect()}
+    want = {r["url"]: r["cluster_id"] for r in corpus.truth_clusters}
+    assert got == want
+    # no doc fell into ambiguous: extraction produced usable text for all
+    assert tables["ambiguous"].count() == 0
+
+
+def test_html_extraction_byte_identical_per_url(spark):
+    """input_hint invariant: same html bytes => byte-identical extracted
+    text per url, independent of partitioning; plus a pinned extraction."""
+    from genome_deduplication_spark.functions.text import extract_text_from_html
+
+    corpus = fx_mixed(seed=7)
+    df = pages_df(spark, corpus).select("url", "html")
+    a = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", extract_text_from_html(F.col("html")).alias("t")
+        ).collect()
+    }
+    b = {
+        r["url"]: r["t"]
+        for r in df.repartition(17)
+        .select("url", extract_text_from_html(F.col("html")).alias("t"))
+        .collect()
+    }
+    assert a == b
+    pinned = spark.createDataFrame(
+        [("u", b"<html><head><script>x=1</script></head>"
+               b"<body><h1>A&amp;B</h1><p>hello   world</p></body></html>")],
+        "url string, html binary",
+    )
+    out = pinned.select(extract_text_from_html(F.col("html")).alias("t")).collect()
+    assert out[0]["t"] == "a&b hello world"

@@ -66,3 +66,42 @@ def test_embedding_near_dup_pairs(spark):
     # random gaussian pairs at dim 16 essentially never hit cos >= 0.99
     extras = pairs - planted
     assert len(extras) <= 2, extras
+
+
+def test_highdim_sketch_udf_path(spark):
+    """dim=768 takes the Arrow-kernel sketch (no plan blowup) and still
+    retrieves planted near-dup pairs end-to-end."""
+    import numpy as np
+
+    from genome_deduplication_spark.operators.similarity import (
+        _SKETCH_LITERAL_MAX_DIM,
+        _hyperplanes,
+        hyperplane_sketch_udf,
+    )
+
+    dim = 768
+    assert dim > _SKETCH_LITERAL_MAX_DIM
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, dim))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # 100..104 = tiny perturbations of 0..4
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.normal(0, 0.01, dim)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, sim_threshold=0.9, dim=dim, n_bits=16, bands=8, seed=11
+        ).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(5)}
+    # UDF sketch matches its numpy definition exactly
+    planes = _hyperplanes(dim, 16, 11)
+    out = df.select(
+        "vec_id", hyperplane_sketch_udf(planes)("embedding").alias("s")
+    ).collect()
+    for r in out:
+        v = np.asarray(rows[[i for i, (vid, _) in enumerate(rows) if vid == r["vec_id"]][0]][1])
+        bits = (planes @ v) > 0
+        want = int((bits.astype(np.uint64) << np.arange(16, dtype=np.uint64)).sum())
+        assert r["s"] == want

@@ -60,6 +60,30 @@ def test_extract_span_text(spark):
     assert rows[0]["span_text"] == "world"
 
 
+def test_span_byte_contract_non_ascii(spark):
+    """Span offsets are UTF-8 byte offsets end-to-end: spans found on
+    multi-byte text slice back to the exact repeated block, and
+    coverage_gaps accounts in octets."""
+    block = "héllo wörld ünïcode çontent " * 3  # multi-byte chars
+    text = block + "середина filler " + block
+    spans = self_repeat_spans_py(text, min_len=30)
+    assert spans
+    df = spark.createDataFrame([("a", text)], "url string, text string")
+    sdf = spark.createDataFrame(
+        [("a", s, e) for s, e in spans], "url string, start bigint, end bigint"
+    )
+    raw = text.encode("utf-8")
+    for r in extract_span_text(df, sdf).collect():
+        assert r["span_text"] == raw[r["start"]:r["end"]].decode("utf-8")
+        assert block.strip() in r["span_text"]
+    # gaps + spans must tile [0, octet_length)
+    gaps = coverage_gaps(sdf, df).collect()
+    covered = sum(e - s for s, e in spans) + sum(
+        r["end"] - r["start"] for r in gaps
+    )
+    assert covered == len(raw)
+
+
 def test_build_training_corpus(spark):
     corpus = fx_exact(seed=42, groups=10, copies=3)
     df = pages_df(spark, corpus)
@@ -74,3 +98,45 @@ def test_build_training_corpus(spark):
     assert {(r["url"], r["shuffle_key"]) for r in rows} == {
         (r["url"], r["shuffle_key"]) for r in out2.collect()
     }
+
+def test_four_way_spans_tile_corpus(spark):
+    """Reference 4-way output parity (code/dedup2.py:17-31): sample/masked/
+    ignored/ambiguous spans tile every document's [0, octet_length) exactly
+    once on the mixed fixture."""
+    from genome_deduplication_spark.fixtures.pages import fx_mixed
+    from genome_deduplication_spark.operators.spans import (
+        build_spans_table,
+        coverage_gaps,
+    )
+
+    corpus = fx_mixed(seed=42)
+    df = pages_df(spark, corpus)
+    tables = dedup_pipeline(df, DedupConfig(), run_dir=None,
+                            enable_substring_pass=False)
+    spans = build_spans_table(
+        tables["normalized"].where("NOT is_ambiguous"),
+        tables["clusters"],
+        tables["ambiguous"],
+        min_repeat_len=120,
+    ).localCheckpoint(eager=False)
+    docs = tables["normalized"].select("url", "text")
+    # no gaps...
+    assert coverage_gaps(spans, docs).count() == 0
+    # ...and no overlaps: per-doc span lengths sum to octet_length
+    covered = {
+        r["url"]: r["c"]
+        for r in spans.groupBy("url")
+        .agg(F.sum(F.col("end") - F.col("start")).alias("c"))
+        .collect()
+    }
+    lens = {
+        r["url"]: r["l"]
+        for r in docs.select(
+            "url", F.coalesce(F.octet_length("text"), F.lit(0)).alias("l")
+        ).collect()
+    }
+    for url, ln in lens.items():
+        assert covered.get(url, 0) == ln, url
+    # every kind present on this fixture
+    kinds = {r["kind"] for r in spans.select("kind").distinct().collect()}
+    assert kinds == {"sample", "masked", "ignored", "ambiguous"}
