@@ -45,15 +45,15 @@ def hash60_py(s: str) -> int:
 
 
 def hash128(col: Column) -> Column:
-    """128-bit key as struct<hi,lo> of two independent xxhash64 streams.
+    """128-bit key as BINARY(16) (unhex'd md5).
 
     For identity keys at the 10^12-doc design point: a single 64-bit (or
     60-bit) key expects tens of thousands of birthday collisions there,
     silently merging unrelated documents; at 128 bits the expectation is
-    ~1e-12. Structs of two longs group/join/compare natively in Spark."""
-    return F.struct(
-        F.xxhash64(col).alias("hi"), F.xxhash64(F.lit(1), col).alias("lo")
-    )
+    ~1e-12. BINARY keys stay on the fast hash-aggregate path — struct
+    <hi,lo> keys fall off it (measured ~18-170% slowdowns depending on
+    the operator)."""
+    return F.unhex(F.md5(col))
 
 
 def hash31(col: Column) -> Column:

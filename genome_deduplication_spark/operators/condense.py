@@ -50,6 +50,53 @@ def condense_positions(
     )
 
 
+def unused_token_spans(
+    docs: DataFrame,
+    used_tokens: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """A7 end-to-end: maximal runs of tokens ABSENT from `used_tokens`,
+    merged into spans and projected back to text — the reference's
+    unused-k-mer merge (summary_stats/unused_kmers.py:63-89: walk the
+    sequence, collect positions whose k-mer never appears in the dedup
+    output, merge consecutive positions into maximal substrings).
+
+    Composition: posexplode -> anti-join (the set difference) ->
+    condense_positions (gaps-and-islands) -> token-slice projection.
+    Output: (id, start, end, span_text) with start/end 0-based token
+    ordinals, end-exclusive.
+    """
+    from genome_deduplication_spark.functions.text import normalize_text
+
+    toks = docs.select(
+        id_col, F.split(normalize_text(F.col(text_col)), " ").alias("_toks")
+    )
+    pos = toks.select(
+        id_col, F.posexplode("_toks").alias("pos", "tok_val")
+    )
+    missing = pos.join(
+        used_tokens.select(F.col(tok_col).alias("tok_val")),
+        "tok_val",
+        "left_anti",
+    )
+    runs = condense_positions(missing, widen=1, key_col=id_col, pos_col="pos")
+    return runs.join(toks, id_col).select(
+        id_col,
+        "start",
+        "end",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "_toks",
+                (F.col("start") + 1).cast("int"),
+                (F.col("end") - F.col("start")).cast("int"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 def merge_intervals(
     spans: DataFrame,
     key_col: str = "url",

@@ -11,7 +11,7 @@ joins; converges in O(log^2 n) rounds on adversarial chains, ~3-5 rounds on
 real dup clusters. Each round is two shuffles; lineage is cut with
 localCheckpoint every round so the plan does not grow (SURVEY.md §4 item 2).
 
-IDs are mapped to a 128-bit struct<hi,lo> (two xxhash64 streams) for cheap
+IDs are mapped to a 128-bit BINARY(16) key (unhex'd md5) for cheap
 fixed-width shuffles without birthday collisions at 10^12 ids; the final
 cluster id is the *minimum original key* (warc_ts, url struct ordering is
 applied by the caller through min-election, here minimum hashed id) —
@@ -91,19 +91,16 @@ def connected_components(
 
     # Driver fixed cost is the scaling killer at small-to-medium corpora
     # (measured: ~6 CC rounds x 2 jobs dominated BENCH r1's Amdahl fixed
-    # term), so: (a) the checkpoint is LAZY — the convergence fingerprint
-    # action materializes it, one job instead of checkpoint+agg; (b) the
-    # fingerprint runs every 2nd round, so steady state is ~1 driver job
-    # per 2 CC rounds (the skipped round's plan folds into the next job).
-    # checking 2 rounds apart is sound: each round strictly shrinks the
-    # potential (sum of node-to-min distances) until the fixed point, so
-    # state_{i} == state_{i+2} can only happen at convergence — a 2-cycle
-    # would need the potential to grow back.
+    # term). The checkpoint is LAZY and the convergence fingerprint is the
+    # action that materializes it: ONE driver job per round instead of
+    # eager-checkpoint + agg. The fingerprint must run every round — it is
+    # what persists the round's RDD before the next round's star joins read
+    # it twice (an unmaterialized lazy checkpoint would be recomputed per
+    # reference; measured 2x pipeline regression when fingerprints were
+    # skipped on alternate rounds).
     prev_fp = None
-    for i in range(max_iter):
+    for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        if i % 2 == 0:
-            continue  # fold this round's plan into the next round's job
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
@@ -126,15 +123,12 @@ def components_for_string_ids(edges: DataFrame, all_ids: DataFrame,
     minimum *string* id within each component (min over the original key).
     """
     ids = all_ids.select(F.col(id_col).alias("id")).distinct()
-    # 128-bit node key (two xxhash64 streams): a 64-bit map expects ~tens of
-    # thousands of birthday collisions at 10^12 ids — each one silently
-    # merging unrelated clusters. Structs order/group natively.
-    node_map = ids.select(
-        "id",
-        F.struct(
-            F.xxhash64("id").alias("hi"), F.xxhash64(F.lit(1), "id").alias("lo")
-        ).alias("node"),
-    )
+    # 128-bit node key: a 64-bit map expects ~tens of thousands of birthday
+    # collisions at 10^12 ids — each one silently merging unrelated
+    # clusters. Representation matters: BINARY(16) (unhex'd md5) keeps the
+    # fast hash-aggregate/codegen path; struct<hi,lo> keys fell off it
+    # (measured ~18% CC slowdown) and hex strings doubled the width.
+    node_map = ids.select("id", F.unhex(F.md5("id")).alias("node"))
     e = (
         edges.join(node_map.withColumnRenamed("id", "id_a")
                    .withColumnRenamed("node", "src"), "id_a")

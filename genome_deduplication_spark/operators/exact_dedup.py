@@ -23,12 +23,14 @@ from genome_deduplication_spark.functions.text import normalize_text
 
 
 def content_key(text: Column) -> Column:
-    """128-bit content hash of normalized text (struct<hi,lo>): at the
-    10^12-doc design point a 60/64-bit key silently false-merges tens of
-    thousands of unrelated documents (birthday bound); 128 bits puts the
-    expectation at ~1e-12. Oracle-facing queries keep the portable 60-bit
-    md5 hash (hash60) where DuckDB must recompute the value — collisions
-    are impossible at oracle scale."""
+    """128-bit content hash of normalized text (BINARY(16), unhex'd md5):
+    at the 10^12-doc design point a 60/64-bit key silently false-merges
+    tens of thousands of unrelated documents (birthday bound); 128 bits
+    puts the expectation at ~1e-12. A FLAT binary key, not a struct —
+    struct group keys fall off the fast hash-aggregate path (measured
+    2.7x pipeline regression with struct<hi,lo>). Oracle-facing queries
+    keep the 60-bit hash60 where DuckDB must recompute the value;
+    collisions are impossible at oracle scale."""
     return hash128(normalize_text(text))
 
 

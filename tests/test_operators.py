@@ -195,3 +195,44 @@ def test_sample_exact_n_repartition_invariant(spark):
     b = {r["url"] for r in sample_exact_n(df.repartition(13), 25, seed=5).collect()}
     assert len(a) == 25
     assert a == b
+
+
+def test_unused_token_spans_maximal_merge(spark):
+    """A7 tail end-to-end (reference unused_kmers.py:63-89): consecutive
+    missing tokens merge into MAXIMAL substrings, verified against a
+    sequential twin."""
+    from genome_deduplication_spark.operators.condense import unused_token_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "keep gone1 gone2 keep keep gone3 keep"),
+            ("b", "gone4 gone5 gone6 keep"),
+            ("c", "keep keep"),
+        ],
+        "url string, text string",
+    )
+    used = spark.createDataFrame([("keep",)], "tok string")
+    got = {
+        (r["url"], r["start"], r["end"], r["span_text"])
+        for r in unused_token_spans(docs, used).collect()
+    }
+
+    def twin(text):
+        toks = text.split(" ")
+        out, run = [], None
+        for i, t in enumerate(toks + ["keep"]):
+            if t != "keep":
+                run = (run[0], i + 1) if run else (i, i + 1)
+            elif run:
+                out.append((run[0], run[1], " ".join(toks[run[0]:run[1]])))
+                run = None
+        return out
+
+    want = set()
+    for url, text in [("a", "keep gone1 gone2 keep keep gone3 keep"),
+                      ("b", "gone4 gone5 gone6 keep"),
+                      ("c", "keep keep")]:
+        for s, e, t in twin(text):
+            want.add((url, s, e, t))
+    assert got == want
+    assert ("a", 1, 3, "gone1 gone2") in got  # maximal, not per-token
