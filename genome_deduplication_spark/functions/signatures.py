@@ -65,7 +65,10 @@ def minhash_simhash_blocked(
     simhash[n_rows] int64). Identical output to the naive per-perm loop.
     """
     n_rows = len(starts)
-    sigs = np.empty((n_rows, num_perm), dtype=np.int64)
+    # int32 output: every value < 2**31-1 fits, and the signature matrix is
+    # the dominant Arrow/shuffle/checkpoint payload (128 values/doc) — half
+    # the bytes is half the memory traffic on a DRAM-bound kernel stage
+    sigs = np.empty((n_rows, num_perm), dtype=np.int32)
     sims = np.zeros(n_rows, dtype=np.uint64)
     au = a.astype(np.uint64)
     bu = b.astype(np.uint64)
@@ -140,7 +143,7 @@ def make_doc_signature_udf(cfg: DedupConfig):
     schema = T.StructType(
         [
             T.StructField("n_shingles", T.IntegerType()),
-            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("minhash", T.ArrayType(T.IntegerType())),
             T.StructField("simhash", T.LongType()),
             T.StructField("anchors", T.ArrayType(T.LongType())),
         ]
@@ -201,7 +204,7 @@ def make_signature_udf(cfg: DedupConfig):
 
     schema = T.StructType(
         [
-            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("minhash", T.ArrayType(T.IntegerType())),
             T.StructField("simhash", T.LongType()),
         ]
     )

@@ -37,18 +37,14 @@ from genome_deduplication_spark.config import DedupConfig
 def band_buckets(signatures: DataFrame, cfg: DedupConfig,
                  id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
     """Explode each signature into (id, band_id, band_hash) bucket rows."""
+    # xxhash64 hashes array columns natively — no per-value string
+    # conversion (the old concat_ws path did 128 int->string casts per doc)
     bands = F.array(
         *[
             F.xxhash64(
                 F.lit(b),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col(sig_col), b * cfg.rows_per_band + 1,
-                                cfg.rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
+                F.slice(F.col(sig_col), b * cfg.rows_per_band + 1,
+                        cfg.rows_per_band),
             )
             for b in range(cfg.bands)
         ]
