@@ -2,9 +2,12 @@
 
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
 driver's testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
-Cross-engine value parity rests on the md5-derived 60-bit hash
-(functions/hashing.py) that Spark, DuckDB and pure Python compute
-identically, and on identical integer MinHash arithmetic mod 2**31-1.
+Cross-engine value parity rests on three shared primitives computed
+identically by Spark, DuckDB and pure Python: the md5-derived 60-bit hash
+(functions/hashing.py) for identity keys, the polynomial byte-shingle
+family (functions/shingles.poly_window_hashes_np; DuckDB recomputes it
+from hex(encode(s)) with embedded power-of-base literals), and integer
+MinHash arithmetic mod 2**31-1.
 
 Operator-ID cross-references (SURVEY.md §2): each query's docstring names
 the reference operator(s) it exercises.
@@ -23,11 +26,22 @@ from genome_deduplication_spark.functions.hashing import (
     hash60,
     hash60_duckdb_sql,
 )
-from genome_deduplication_spark.functions.shingles import char_shingles31
+from genome_deduplication_spark.functions.shingles import (
+    _POLY_BASE,
+    make_char_shingles31_pandas,
+)
 from genome_deduplication_spark.functions.text import normalize_text
 
 CFG = DedupConfig()
 K = CFG.shingle_k  # 9
+
+# O(n) Arrow rolling-hash shingle kernel (polynomial family mod 2**31-1
+# over UTF-8 bytes) — the same family the pipeline kernel uses; the DuckDB
+# twin (_SHINGLES_CTE) recomputes it byte-for-byte via hex(encode(s)).
+# Replaces the O(n*k) JVM md5-per-window path that dominated the shingle
+# queries' bench time; hash60/md5 remains the portable path for identity
+# hashes (content_hash, sampling keys).
+char_shingles_poly = make_char_shingles31_pandas(K)
 
 # --- portable SQL fragments (DuckDB side) -----------------------------------
 _NORM_DUCK = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
@@ -82,7 +96,7 @@ def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sh_all = docs.select(
         "doc_id",
-        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+        F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h"),
     ).localCheckpoint(eager=False)  # reused by the DF filter and both join sides
     rare = (
         sh_all.groupBy("h")
@@ -124,7 +138,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = CFG.minhash_coefficients()
     sh = docs.select(
         "doc_id",
-        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+        F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h"),
     )
     aggs = [
         F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % F.lit(MERSENNE31)).alias(
@@ -169,7 +183,7 @@ def q_shingle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue (reference kmer_counter_dedup_files.sh)."""
     docs = _read(spark, sf_dir, "documents")
     sh = docs.select(
-        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h")
+        F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h")
     )
     counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     return counts.groupBy("occ").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -297,7 +311,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
-        F.explode(char_shingles31(normalize_text(F.col("text")), K)).alias("h"),
+        F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h"),
     )
     return (
         sh.where(F.col("h") % 32 == 0)
@@ -522,11 +536,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = _NORM_DUCK.format(c="text")
 
+# DuckDB twin of the O(n) polynomial byte-shingle kernel
+# (functions/shingles.poly_window_hashes_np): h(window at i) =
+# sum_{o<K} byte[i+o] * base^(K-1-o) mod 2^31-1 over the UTF-8 bytes of
+# normalized text. Bytes are recovered by hex-ing the encoded string; the
+# K power-of-base weights are embedded as literals. Every per-window sum
+# is < 256 * K * 2^31 — safely inside BIGINT.
+_POLY_POWERS = ", ".join(
+    f"({o}, {pow(_POLY_BASE % MERSENNE31, K - 1 - o, MERSENNE31)})"
+    for o in range(K)
+)
+
 _SHINGLES_CTE = f"""
   nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
-  pos AS (SELECT doc_id, s, unnest(range(1, greatest(len(s) - {K} + 2, 1))) AS i
-          FROM nrm),
-  sh AS (SELECT DISTINCT doc_id, {_h31_duck(f"substr(s, i, {K})")} AS h FROM pos)
+  raw AS (SELECT doc_id, hex(encode(s)) AS hx,
+                 octet_length(encode(s)) AS n
+          FROM nrm WHERE s IS NOT NULL),
+  bt AS (SELECT doc_id, n, hx, unnest(range(1, n + 1)) AS j FROM raw),
+  bv AS (SELECT doc_id, n, j,
+                CAST(concat('0x', substr(hx, 2*j - 1, 2)) AS BIGINT) AS b
+         FROM bt),
+  pw(o, p) AS (SELECT * FROM (VALUES {_POLY_POWERS}) v(o, p)),
+  sh AS (
+    SELECT DISTINCT doc_id, SUM(b * p) % {MERSENNE31} AS h
+    FROM bv JOIN pw ON bv.j - pw.o >= 1 AND bv.j - pw.o <= bv.n - {K} + 1
+    GROUP BY doc_id, bv.j - pw.o
+  )
 """
 
 
