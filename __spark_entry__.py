@@ -195,9 +195,13 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        # decimal(20,4) hashes identically in Spark and DuckDB; a rounded
-        # double can straddle a ULP boundary depending on summation order.
-        F.avg("n_chars").cast("decimal(20,4)").alias("avg_chars"),
+        # Exact integer fixed-point mean: (sum*10000) DIV count. A rounded
+        # double can straddle a ULP boundary depending on summation order,
+        # and DECIMAL hashes engine-specifically; integer math is exact and
+        # representation-stable on both engines.
+        F.expr(
+            "CAST((sum(n_chars) * 10000) DIV count(1) AS BIGINT)"
+        ).alias("avg_chars_x10000"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -558,7 +562,11 @@ _SHINGLES_CTE = f"""
          FROM bt),
   pw(o, p) AS (SELECT * FROM (VALUES {_POLY_POWERS}) v(o, p)),
   sh AS (
-    SELECT DISTINCT doc_id, SUM(b * p) % {MERSENNE31} AS h
+    -- DuckDB SUM(BIGINT) returns HUGEINT (int128) and `%` preserves it;
+    -- cast back to BIGINT so every h-derived output column matches Spark's
+    -- int64 representation (round-2 hash regression: mh_*, fingerprint).
+    SELECT DISTINCT doc_id,
+           CAST(SUM(b * p) % {MERSENNE31} AS BIGINT) AS h
     FROM bv JOIN pw ON bv.j - pw.o >= 1 AND bv.j - pw.o <= bv.n - {K} + 1
     GROUP BY doc_id, bv.j - pw.o
   )
@@ -644,7 +652,8 @@ def oracle_sql() -> dict[str, str]:
         "summary_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   CAST(avg(n_chars) AS DECIMAL(20,4)) AS avg_chars,
+                   CAST((sum(n_chars) * 10000) // count(*) AS BIGINT)
+                       AS avg_chars_x10000,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,
