@@ -29,6 +29,7 @@ Scale design (north_star requirements):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from genome_deduplication_spark.config import DedupConfig
@@ -83,15 +84,18 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         F.count(F.lit(1)).alias("_n")
     )
     ok = counts.where(F.col("_n") <= DROP_CAP).select("band_id", "band_hash")
-    # same join key as the groupBy -> exchange reuse, no extra shuffle
+    # same join key as the groupBy -> exchange reuse, no extra shuffle.
+    # Members are rank-filtered to max_bucket_size BEFORE collect_list (a
+    # window over the already-bucket-keyed rows), so no reducer row ever
+    # holds more than max_bucket_size ids — the old slice-after-collect
+    # materialized up to DROP_CAP ids (500x the cap) per hot bucket first.
+    w = W.partitionBy("band_id", "band_hash").orderBy(id_col)
     members = (
         buckets.join(ok, ["band_id", "band_hash"])
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= cfg.max_bucket_size)
         .groupBy("band_id", "band_hash")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, cfg.max_bucket_size
-            ).alias("m")
-        )
+        .agg(F.sort_array(F.collect_list(id_col)).alias("m"))
         .where(F.size("m") >= 2)
     )
     sz = F.size("m")
@@ -116,6 +120,39 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         members.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def truncation_stats(signatures: DataFrame, cfg: DedupConfig,
+                     id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
+    """Lineage metric: how many buckets the candidate stage truncated.
+
+    One row: (buckets_total, buckets_dropped, buckets_capped, docs_in_dropped)
+    — dropped = bucket size > DROP_CAP (no pairs emitted at all), capped =
+    max_bucket_size < size <= DROP_CAP (star restricted to the smallest
+    max_bucket_size members). The reference never silently drops data (every
+    region lands in an accounting file, code/dedup2.py:480-493); this is the
+    Spark analogue: the pipeline records these counts in metrics.jsonl."""
+    counts = (
+        band_buckets(signatures, cfg, id_col, sig_col)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("buckets_total"),
+        F.sum(
+            F.when(F.col("_n") > DROP_CAP, 1).otherwise(0)
+        ).alias("buckets_dropped"),
+        F.sum(
+            F.when(
+                (F.col("_n") > cfg.max_bucket_size)
+                & (F.col("_n") <= DROP_CAP),
+                1,
+            ).otherwise(0)
+        ).alias("buckets_capped"),
+        F.sum(
+            F.when(F.col("_n") > DROP_CAP, F.col("_n")).otherwise(0)
+        ).alias("docs_in_dropped"),
     )
 
 

@@ -50,19 +50,21 @@ def extract_span_text(
     (url, start, end, span_text). start/end are 0-based UTF-8 BYTE offsets,
     end-exclusive (the span unit contract — see operators/spans.py), so the
     slice runs over the encoded bytes; substring on BINARY is byte-indexed
-    and 1-based. A boundary that splits a multi-byte char decodes to U+FFFD
-    — span producers emit byte-aligned repeats, so this only happens on
-    hand-made spans."""
+    and 1-based. Span producers (e.g. self_repeat_spans over multi-byte
+    repeats) CAN emit boundaries inside a multi-byte character, so the
+    decode must be lenient: strict F.decode throws under ANSI on a
+    continuation-byte boundary and would kill the job on one multilingual
+    page. The binary->string cast + make_valid_utf8 substitutes U+FFFD
+    deterministically instead (same policy as extract_text_from_html)."""
     joined = spans.join(pages.select(id_col, text_col), id_col)
     return joined.select(
         id_col,
         "start",
         "end",
-        F.decode(
+        F.make_valid_utf8(
             F.expr(
                 f"substring(encode({text_col}, 'UTF-8'),"
                 " CAST(start + 1 AS INT), CAST(end - start AS INT))"
-            ),
-            "UTF-8",
+            ).cast("string")
         ).alias("span_text"),
     )

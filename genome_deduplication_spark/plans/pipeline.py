@@ -40,7 +40,10 @@ from genome_deduplication_spark.operators.connected_components import (
     components_for_string_ids,
 )
 from genome_deduplication_spark.operators.exact_dedup import content_key
-from genome_deduplication_spark.operators.lsh import candidate_pairs
+from genome_deduplication_spark.operators.lsh import (
+    candidate_pairs,
+    truncation_stats,
+)
 from genome_deduplication_spark.operators.suffix_array import (
     exact_substring_pairs,
     pairs_from_anchor_rows,
@@ -175,11 +178,31 @@ def dedup_pipeline(
         return pairs
 
     lsh_pairs = stage("lsh_pairs", _lsh_pairs, reused=False)
-    metrics(
-        "candidates",
-        exact_edges=exact_edges.count,
-        lsh_candidate_pairs=lsh_pairs.count,
-    )
+
+    def _truncation():
+        # one job for all truncation counters (lsh.py's docstring promise:
+        # buckets the candidate stage dropped/capped are accounted, never
+        # silent — reference analogue code/dedup2.py:480-493)
+        reps = signatures.groupBy("content_hash").agg(
+            F.min(F.struct("warc_ts", "url")).alias("_c"),
+            F.first("minhash").alias("minhash"),
+        ).select(F.col("_c.url").alias("url"), "minhash")
+        row = truncation_stats(reps, cfg, id_col="url").collect()[0]
+        return row.asDict()
+
+    if ctx is not None:
+        trunc = _truncation()
+        ctx.record_metrics(
+            "candidates",
+            {
+                "exact_edges": exact_edges.count(),
+                "lsh_candidate_pairs": lsh_pairs.count(),
+                "lsh_buckets_total": trunc["buckets_total"],
+                "lsh_buckets_dropped": trunc["buckets_dropped"] or 0,
+                "lsh_buckets_capped": trunc["buckets_capped"] or 0,
+                "lsh_docs_in_dropped": trunc["docs_in_dropped"] or 0,
+            },
+        )
 
     # -- 4 verify ----------------------------------------------------------------
     def _verified():

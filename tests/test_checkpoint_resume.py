@@ -98,3 +98,14 @@ def test_per_partition_lineage_counters(spark, tmp_path):
     n_before = len(counters)
     dedup_pipeline(df, CFG, run_dir=run_dir, enable_substring_pass=False)
     assert len(ctx.read_counters()) == n_before
+    # LSH truncation lineage: the candidates metrics row accounts for
+    # dropped/capped buckets (lsh.py's no-silent-truncation promise)
+    cand = [m for m in ctx.read_metrics() if m["stage"] == "candidates"]
+    assert cand, "no candidates metrics recorded"
+    for key in (
+        "lsh_buckets_total",
+        "lsh_buckets_dropped",
+        "lsh_buckets_capped",
+        "lsh_docs_in_dropped",
+    ):
+        assert key in cand[-1], key

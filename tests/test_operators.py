@@ -123,6 +123,35 @@ def test_candidate_pairs_star_and_clique_policy(spark):
     assert got == want
 
 
+def test_candidate_pairs_cap_and_truncation_stats(spark):
+    """Buckets above max_bucket_size keep only the smallest members (the
+    rank-filter happens BEFORE collect_list — no reducer row ever holds
+    more than max_bucket_size ids), and truncation_stats accounts for
+    every capped/dropped bucket (nothing is dropped silently)."""
+    from genome_deduplication_spark.config import DedupConfig
+    from genome_deduplication_spark.operators.lsh import (
+        candidate_pairs,
+        truncation_stats,
+    )
+
+    cfg = DedupConfig(max_bucket_size=5)
+    docs = [(f"d{i:03d}", [3] * cfg.num_perm) for i in range(20)]
+    df = spark.createDataFrame(docs, "url string, minhash array<bigint>")
+    got = {(r["id_a"], r["id_b"]) for r in candidate_pairs(df, cfg).collect()}
+    kept = sorted(u for u, _ in docs)[:5]  # 5 smallest ids survive the cap
+    want = {
+        (kept[i], kept[j])
+        for i in range(5)
+        for j in range(i + 1, 5)  # 5 <= CLIQUE_BUDGET -> full clique
+    }
+    assert got == want
+    stats = truncation_stats(df, cfg).collect()[0]
+    assert stats["buckets_total"] == cfg.bands
+    assert stats["buckets_capped"] == cfg.bands  # every band bucket size 20
+    assert stats["buckets_dropped"] == 0
+    assert stats["docs_in_dropped"] == 0
+
+
 def test_suffix_array_lcs():
     assert longest_common_substring_len("hello world", "say hello there") == 6
     assert longest_common_substring_len("abc", "xyz") == 0

@@ -148,3 +148,53 @@ def test_html_extraction_byte_identical_per_url(spark):
     )
     out = pinned.select(extract_text_from_html(F.col("html")).alias("t")).collect()
     assert out[0]["t"] == "a&b hello world"
+
+
+def test_stochastic_retain(spark):
+    """D3 stochastic retain (reference: with prob `retain` a duplicate is
+    let through anyway, code/dedup2.py:150-151): retain_rate=0.5 drops
+    ~half the planted dup edges, deterministically from the pair key —
+    the SAME edges under any partitioning (never F.rand())."""
+    from genome_deduplication_spark.operators.verify import verify_pairs
+
+    corpus = fx_near(seed=7, groups=60, copies=1)
+    df = pages_df(spark, corpus)
+
+    def norm_edges(tables):
+        return {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in tables["dup_edges"].collect()
+        }
+
+    base = dedup_pipeline(
+        df, DedupConfig(), run_dir=None, enable_substring_pass=False
+    )
+    base_edges = norm_edges(base)
+    assert len(base_edges) >= 50  # planted pairs are found without retain
+
+    cfg = DedupConfig(retain_rate=0.5)
+    retained = dedup_pipeline(
+        df, cfg, run_dir=None, enable_substring_pass=False
+    )
+    kept_edges = norm_edges(retained)
+    # retain only ever removes edges, never adds
+    assert kept_edges <= base_edges
+    frac_dropped = 1 - len(kept_edges) / len(base_edges)
+    # binomial(n>=50, p=0.5): [0.3, 0.7] is a >4-sigma acceptance band
+    assert 0.3 <= frac_dropped <= 0.7, frac_dropped
+
+    # partitioning invariance: identical verdicts per pair at 1 vs 16
+    # partitions (key-derived uniform, not per-row randomness)
+    sigs = retained["signatures"]
+    pairs = spark.createDataFrame(
+        sorted(base_edges), "id_a string, id_b string"
+    )
+    v1 = {
+        (r["id_a"], r["id_b"], r["is_dup"])
+        for r in verify_pairs(pairs.repartition(1), sigs, cfg).collect()
+    }
+    v16 = {
+        (r["id_a"], r["id_b"], r["is_dup"])
+        for r in verify_pairs(pairs.repartition(16), sigs, cfg).collect()
+    }
+    assert v1 == v16

@@ -60,6 +60,31 @@ def test_extract_span_text(spark):
     assert rows[0]["span_text"] == "world"
 
 
+def test_extract_span_text_continuation_byte_boundary(spark):
+    """Regression (round-3 ADVICE): maximal byte repeats CAN start on a
+    UTF-8 continuation byte — 'Ұ' (D2 B0) and 'а' (D0 B0) share their
+    second byte, so the repeated block is b'\\xb0' + b'Z'*200, starting
+    mid-character. Strict F.decode threw under ANSI and killed the job;
+    the lenient path must yield U+FFFD instead of crashing."""
+    text = "XҰ" + "Z" * 200 + " middle filler " + "Yа" + "Z" * 200
+    spans = self_repeat_spans_py(text, min_len=50)
+    assert spans
+    raw = text.encode("utf-8")
+    # the advisor's premise: at least one span boundary splits a character
+    assert any(
+        (raw[s] & 0xC0) == 0x80 or (e < len(raw) and (raw[e] & 0xC0) == 0x80)
+        for s, e in spans
+    )
+    df = spark.createDataFrame([("a", text)], "url string, text string")
+    sdf = spark.createDataFrame(
+        [("a", s, e) for s, e in spans], "url string, start bigint, end bigint"
+    )
+    rows = extract_span_text(df, sdf).collect()  # must not throw
+    for r in rows:
+        expect = raw[r["start"]:r["end"]].decode("utf-8", errors="replace")
+        assert r["span_text"] == expect
+
+
 def test_span_byte_contract_non_ascii(spark):
     """Span offsets are UTF-8 byte offsets end-to-end: spans found on
     multi-byte text slice back to the exact repeated block, and
