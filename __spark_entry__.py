@@ -487,6 +487,93 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- planted substring-dup construction (oracle row for the suffix-array
+# pass, the ann_lsh_topk pattern) ------------------------------------------
+# For each base doc (doc_id < _SUB_N, stripped text >= _SUB_MINSRC chars)
+# build twins A=910000+id / B=920000+id sharing ONLY a ~707-char block:
+# 600 chars of recycled base text with an ASCII '[docid|seg]' marker every
+# 40 chars, framed by per-twin md5 fillers. The markers bound any CROSS-pair
+# shared run at ~42 chars — below both the 48-char anchor width and the
+# 120-byte min_common_substring — so, deterministically on BOTH engines,
+# the truth graph is exactly the planted A-B matching. Whole-doc Jaccard of
+# a planted pair is ~0.53 (< 0.8 threshold, 128-perm estimate is a 6-sigma
+# miss), so the pair is reachable ONLY through the suffix-array substring
+# pass (reference masked regions, code/dedup2.py:18,235-246).
+_SUB_N = 40          # base docs considered
+_SUB_BLOCK = 600     # chars of shared source block
+_SUB_SEG = 40        # marker interval (bounds cross-pair runs)
+_SUB_MINSRC = 150    # min stripped source length (150*5 repeats >= 600)
+_SUB_SALTS_A = ([f"a{i}" for i in range(1, 6)], [f"a{i}" for i in range(6, 11)])
+_SUB_SALTS_B = ([f"b{i}" for i in range(1, 6)], [f"b{i}" for i in range(6, 11)])
+
+
+def _sub_strip(col):
+    """ASCII-only normalized source: byte==char semantics end-to-end, so
+    the Spark (byte-based) LCS and the DuckDB (char-based) gram oracle
+    agree exactly."""
+    s = normalize_text(col)
+    s = F.regexp_replace(s, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(s, " +", " "))
+
+
+def _sub_planted_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < _SUB_N)
+    elig = (
+        docs.select("doc_id", _sub_strip(F.col("text")).alias("s"))
+        .where(F.length("s") >= _SUB_MINSRC)
+        .select(
+            "doc_id",
+            F.col("doc_id").cast("string").alias("d"),
+            F.substring(F.repeat(F.col("s"), 5), 1, _SUB_BLOCK).alias("braw"),
+        )
+    )
+    parts = []
+    for c in range(_SUB_BLOCK // _SUB_SEG):
+        parts.append(F.substring(F.col("braw"), c * _SUB_SEG + 1, _SUB_SEG))
+        parts += [F.lit("["), F.col("d"), F.lit(f"|{c}]")]
+    bm = elig.select("doc_id", "d", F.concat(*parts).alias("bm"))
+
+    def filler(salts):
+        return F.concat(
+            *[F.md5(F.concat(F.col("d"), F.lit(s))) for s in salts]
+        )
+
+    def twin(offset, salts):
+        pre, post = salts
+        return bm.select(
+            (F.col("doc_id") + offset).cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.concat(
+                filler(pre), F.lit(" "), F.col("bm"), F.lit(" "), filler(post)
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    return twin(910000, _SUB_SALTS_A).unionByName(twin(920000, _SUB_SALTS_B))
+
+
+def q_substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring pass, end to end through the pipeline
+    [stage 5; D2 kernel at pair scope]: planted twins that share one long
+    verbatim block but sit far below the whole-doc Jaccard threshold are
+    linked ONLY by the substring pass (enable_substring_pass=True). Output:
+    every multi-member cluster membership. Oracle: brute-force shared
+    120-gram join over the identically reconstructed corpus in DuckDB."""
+    from genome_deduplication_spark.plans.pipeline import dedup_pipeline
+
+    pages = _sub_planted_pages(spark, sf_dir)
+    tables = dedup_pipeline(pages, CFG, run_dir=None, enable_substring_pass=True)
+    return (
+        tables["clusters"]
+        .where(F.col("cluster_size") > 1)
+        .select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline [D1-D8]: MinHash/LSH/SimHash/substring/CC over
     documents-as-pages. Non-SQL-expressible (pandas-UDF kernels + iterative
@@ -530,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "substring_dup_clusters": q_substring_dup_clusters,
         "near_dup_clusters": q_near_dup_clusters,
     }
 
@@ -571,6 +659,63 @@ _SHINGLES_CTE = f"""
     GROUP BY doc_id, bv.j - pw.o
   )
 """
+
+
+def _substring_oracle_sql() -> str:
+    """DuckDB twin of q_substring_dup_clusters: reconstruct the planted
+    corpus with identical string algebra, then find pairs brute-force as
+    'share at least one L-gram' (equivalent to LCS >= L) and emit the
+    cluster memberships (the truth graph is a perfect matching by
+    construction — markers bound cross-pair runs below L)."""
+    L = CFG.min_common_substring  # 120 (ASCII corpus: bytes == chars)
+    strip = (
+        f"trim(regexp_replace(regexp_replace({_NORM},"
+        " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    )
+    bm = " || ".join(
+        f"substr(braw, {c * _SUB_SEG + 1}, {_SUB_SEG}) || '[' || d || '|{c}]'"
+        for c in range(_SUB_BLOCK // _SUB_SEG)
+    )
+
+    def filler(salts):
+        return " || ".join(f"md5(d || '{s}')" for s in salts)
+
+    def twin(offset, salts):
+        pre, post = salts
+        return (
+            f"SELECT {offset} + doc_id AS id, "
+            f"{filler(pre)} || ' ' || bm || ' ' || {filler(post)} AS t FROM bm"
+        )
+
+    return f"""
+        WITH src AS (
+          SELECT doc_id, {strip} AS s FROM documents WHERE doc_id < {_SUB_N}
+        ),
+        elig AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
+                 substr(repeat(s, 5), 1, {_SUB_BLOCK}) AS braw
+          FROM src WHERE length(s) >= {_SUB_MINSRC}
+        ),
+        bm AS (SELECT doc_id, d, {bm} AS bm FROM elig),
+        corpus AS (
+          {twin(910000, _SUB_SALTS_A)}
+          UNION ALL
+          {twin(920000, _SUB_SALTS_B)}
+        ),
+        pos AS (
+          SELECT id, t, unnest(range(1, length(t) - {L} + 2)) AS i FROM corpus
+        ),
+        grams AS (SELECT DISTINCT id, md5(substr(t, i, {L})) AS g FROM pos),
+        p AS (
+          SELECT DISTINCT a.id AS ia, b.id AS ib
+          FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+        )
+        SELECT ia AS doc_id, ia AS cluster_id, CAST(2 AS BIGINT) AS cluster_size
+        FROM p
+        UNION ALL
+        SELECT ib AS doc_id, ia AS cluster_id, CAST(2 AS BIGINT) AS cluster_size
+        FROM p
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -875,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB computes brute-force with a recursive-CTE closure. The
         # canonical id mirrors the pipeline's min(warc_ts, url)-as-string
         # election (constant warc_ts here -> lexicographic min url).
+        "substring_dup_clusters": _substring_oracle_sql(),
         "near_dup_clusters": f"""
             WITH RECURSIVE
             nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),

@@ -198,3 +198,28 @@ def test_stochastic_retain(spark):
         for r in verify_pairs(pairs.repartition(16), sigs, cfg).collect()
     }
     assert v1 == v16
+
+
+def test_substring_planted_pairs_only_via_substring_pass(spark):
+    """The planted substring corpus (q_substring_dup_clusters) links its
+    twins ONLY through the suffix-array pass: with the pass disabled the
+    pipeline finds no multi-member clusters at all; with it enabled every
+    eligible base doc yields exactly one 2-member cluster."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _sub_planted_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _sub_planted_pages(spark, sf_dir)
+    n_pairs = pages.count() // 2
+
+    off = dedup_pipeline(
+        pages, CFG, run_dir=None, enable_substring_pass=False
+    )
+    assert off["clusters"].where("cluster_size > 1").count() == 0
+
+    on = dedup_pipeline(pages, CFG, run_dir=None, enable_substring_pass=True)
+    multi = on["clusters"].where("cluster_size > 1")
+    assert multi.count() == 2 * n_pairs
+    assert multi.where("cluster_size != 2").count() == 0
