@@ -97,8 +97,12 @@ _SKETCH_LITERAL_MAX_DIM = 128
 
 def hyperplane_sketch_udf(planes: np.ndarray):
     """Pandas-UDF sign sketch for high-dim embeddings: one Arrow batch
-    matmul against the closure-captured (n_bits, dim) matrix; identical
-    output to the literal-expression path (property-tested)."""
+    matmul against the closure-captured (n_bits, dim) matrix; equivalent
+    to the literal-expression path up to FP summation order (matmul uses
+    pairwise/SIMD reduction, the JVM path a sequential left fold — a
+    projection within one ulp of zero can flip a sign bit between the
+    two, so the dim<=128/dim>128 switch is NOT guaranteed bit-identical;
+    property tests use well-separated vectors)."""
     weights = np.ascontiguousarray(planes.T)  # (dim, n_bits)
     powers = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from genome_deduplication_spark.operators.condense import merge_intervals
-from genome_deduplication_spark.operators.suffix_array import lcp_array, suffix_array
+from genome_deduplication_spark.operators.suffix_array import suffix_array_and_lcp
 
 
 def self_repeat_spans_py(text: str, min_len: int) -> list[tuple[int, int]]:
@@ -42,8 +42,7 @@ def self_repeat_spans_py(text: str, min_len: int) -> list[tuple[int, int]]:
     n = len(data)
     if n < min_len * 2:
         return []
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    sa, lcp = suffix_array_and_lcp(data)
     spans: list[tuple[int, int]] = []
     for i in range(1, n):
         l = int(lcp[i])

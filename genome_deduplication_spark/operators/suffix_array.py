@@ -100,9 +100,21 @@ def _lcp_from_ranks(
 
 
 def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """LCP of adjacent suffixes in SA order (vectorized, see _lcp_from_ranks)."""
+    """LCP of adjacent suffixes in SA order (vectorized, see _lcp_from_ranks).
+
+    Recomputes the rank table from `data` (the passed sa is only used for
+    adjacency order) — callers that need both should use
+    suffix_array_and_lcp, which builds the rank table once."""
     _, ranks = _suffix_array_ranks(data)
     return _lcp_from_ranks(len(data), sa, ranks)
+
+
+def suffix_array_and_lcp(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sa, lcp) from ONE prefix-doubling pass — the suffix_array() +
+    lcp_array() call sequence runs the O(n log^2 n) doubling twice; every
+    hot kernel below uses this combined entry point instead."""
+    sa, ranks = _suffix_array_ranks(data)
+    return sa, _lcp_from_ranks(len(data), sa, ranks)
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
@@ -128,8 +140,7 @@ def longest_self_repeat_len(a: str) -> int:
     if not a:
         return 0
     data = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    _, lcp = suffix_array_and_lcp(data)
     return int(lcp.max()) if len(lcp) else 0
 
 

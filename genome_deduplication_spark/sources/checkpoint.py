@@ -77,14 +77,17 @@ class RunContext:
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
-        self._append_counters(
-            {
-                "stage": stage,
-                "kind": "partition_rows",
-                "partition_id": int(r["partition_id"]),
-                "rows": int(r["rows"]),
-            }
-            for r in per_part
+        self._replace_stage_counters(
+            stage,
+            (
+                {
+                    "stage": stage,
+                    "kind": "partition_rows",
+                    "partition_id": int(r["partition_id"]),
+                    "rows": int(r["rows"]),
+                }
+                for r in per_part
+            ),
         )
         manifest = {
             "stage": stage,
@@ -128,16 +131,42 @@ class RunContext:
     def _counters_path(self) -> str:
         return os.path.join(self.run_dir, "counters.jsonl")
 
-    def _append_counters(self, rows) -> None:
-        with open(self._counters_path(), "a") as f:
+    def _replace_stage_counters(self, stage: str, rows) -> None:
+        """Atomically replace this stage's counter rows (keep other stages').
+
+        Counters land BEFORE the stage manifest; a crash between the two
+        makes the resumed run redo the stage — a plain append would then
+        leave two sets of rows and break the exactly-once invariant (sum ==
+        manifest rows). Dropping the stage's old rows first makes the redo
+        idempotent."""
+        path = self._counters_path()
+        kept: list[str] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                kept = [
+                    line
+                    for line in f
+                    if line.strip() and json.loads(line).get("stage") != stage
+                ]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
             for row in rows:
                 f.write(json.dumps(row) + "\n")
+        os.replace(tmp, path)
 
     def read_counters(self, stage: str | None = None) -> list[dict]:
         """Per-partition (stage, partition_id, rows) lineage rows; resumed
-        runs skip completed stages so counters are written exactly once."""
+        runs skip completed stages so counters are written exactly once.
+        Defensively dedupes by (stage, kind, partition_id), last write
+        wins, in case an old-format file carries duplicates."""
         if not os.path.exists(self._counters_path()):
             return []
         with open(self._counters_path()) as f:
             out = [json.loads(line) for line in f if line.strip()]
-        return [r for r in out if stage is None or r["stage"] == stage]
+        if stage is not None:
+            out = [r for r in out if r["stage"] == stage]
+        dedup: dict[tuple, dict] = {}
+        for r in out:
+            dedup[(r["stage"], r.get("kind"), r.get("partition_id"))] = r
+        return list(dedup.values())

@@ -98,6 +98,15 @@ def test_per_partition_lineage_counters(spark, tmp_path):
     n_before = len(counters)
     dedup_pipeline(df, CFG, run_dir=run_dir, enable_substring_pass=False)
     assert len(ctx.read_counters()) == n_before
+    # crash between counter-append and manifest write: the stage is redone
+    # on resume and its counters REPLACED, not appended (exactly-once)
+    os.remove(os.path.join(run_dir, "_STAGE_exact_edges.json"))
+    dedup_pipeline(df, CFG, run_dir=run_dir, enable_substring_pass=False)
+    redone = ctx.read_counters("exact_edges")
+    manifest = json.load(open(os.path.join(run_dir, "_STAGE_exact_edges.json")))
+    assert sum(r["rows"] for r in redone) == manifest["rows"]
+    assert len({r["partition_id"] for r in redone}) == len(redone)
+    assert len(ctx.read_counters()) == n_before
     # LSH truncation lineage: the candidates metrics row accounts for
     # dropped/capped buckets (lsh.py's no-silent-truncation promise)
     cand = [m for m in ctx.read_metrics() if m["stage"] == "candidates"]
