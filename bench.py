@@ -121,6 +121,12 @@ def main() -> None:
         shuffle_partitions=max(cpus, 8),
     )
 
+    # untimed warmup: JVM codegen paths, python workers, parquet footers —
+    # steady-state per-query numbers, not first-query JVM startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     timings: dict[str, float] = {}
     headline = [
         "exact_dup_clusters",
@@ -131,6 +137,7 @@ def main() -> None:
         "merged_ship_intervals",
         "token_quality",
         "embedding_cosine_topk",
+        "substring_dup_clusters",
         "near_dup_clusters",
     ]
     qs = entrymod.queries()
@@ -151,6 +158,37 @@ def main() -> None:
     pipeline_sec = round(time.time() - t0, 3)
     timings["dedup_pipeline_bench"] = pipeline_sec
 
+    # skew + coverage evidence over the bench corpus (not part of the
+    # timed headline): LSH bucket-size skew and the 4-way span tiling
+    from pyspark.sql import functions as F
+
+    from genome_deduplication_spark.operators.lsh import bucket_stats
+    from genome_deduplication_spark.operators.spans import build_spans_table
+
+    hist = bucket_stats(tables["signatures"], cfg).collect()
+    n_buckets = sum(r["n_buckets"] for r in hist)
+    singles = sum(r["n_buckets"] for r in hist if r["bucket_size"] == 1)
+    skew = {
+        "n_buckets": n_buckets,
+        "singleton_frac": round(singles / max(n_buckets, 1), 4),
+        "max_bucket_size": max(r["bucket_size"] for r in hist),
+    }
+    norm_docs = tables["normalized"].where("NOT is_ambiguous").drop(
+        "is_ambiguous"
+    )
+    span_rows = (
+        build_spans_table(
+            norm_docs,
+            tables["clusters"].select("url", "cluster_id"),
+            tables["ambiguous"],
+            min_repeat_len=cfg.min_common_substring,
+        )
+        .groupBy("kind")
+        .agg(F.sum(F.col("end") - F.col("start")).alias("bytes"))
+        .collect()
+    )
+    span_bytes = {r["kind"]: int(r["bytes"]) for r in span_rows}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -164,6 +202,8 @@ def main() -> None:
                 "pipeline_docs": n_pages,
                 "pipeline_clusters": n_clusters,
                 "pipeline_docs_per_sec": round(n_pages / pipeline_sec, 1),
+                "lsh_bucket_skew": skew,
+                "span_kind_bytes": span_bytes,
             }
         )
     )
