@@ -575,10 +575,13 @@ def q_substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship pipeline [D1-D8]: MinHash/LSH/SimHash/substring/CC over
-    documents-as-pages. Non-SQL-expressible (pandas-UDF kernels + iterative
-    CC) — rows-only driver check; full differential testing lives in
-    tests/test_pipeline.py against the sequential oracle."""
+    """The flagship pipeline [D1-D8]: MinHash/LSH/SimHash/CC over
+    documents-as-pages. Oracle: planted-truth recursive-CTE connected
+    components over exact-Jaccard/exact-text edges (valid because the
+    corpus's dup pairs sit at J>=0.92 and background at J<=0.35 vs the
+    0.8 threshold — measured); the substring pass has its own dedicated
+    oracle row (substring_dup_clusters) and is off here. Full
+    differential testing lives in tests/test_pipeline.py."""
     from genome_deduplication_spark.plans.pipeline import dedup_pipeline
 
     docs = _read(spark, sf_dir, "documents")

@@ -63,7 +63,8 @@ def run_once(cpus: int, docs: int, repeats: int = 2) -> dict:
         capture_output=True,
         text=True,
         cwd="/root/repo",
-        timeout=3600,
+        # 1.28M docs x 3 reps at local[8] runs ~70 min on the sandbox host
+        timeout=14400,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
