@@ -195,12 +195,17 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        # Exact integer fixed-point mean: (sum*10000) DIV count. A rounded
-        # double can straddle a ULP boundary depending on summation order,
-        # and DECIMAL hashes engine-specifically; integer math is exact and
-        # representation-stable on both engines.
+        # Exact integer fixed-point mean, algebraically (sum*10000) DIV count
+        # but computed as (sum DIV count)*10000 + ((sum % count)*10000) DIV
+        # count so no intermediate exceeds sum*10000 — Spark's ANSI BIGINT
+        # would overflow past ~9.2e14 total chars per group, while DuckDB
+        # silently widens to HUGEINT (a scale-dependent divergence). A
+        # rounded double can straddle a ULP boundary depending on summation
+        # order, and DECIMAL hashes engine-specifically; integer math is
+        # exact and representation-stable on both engines.
         F.expr(
-            "CAST((sum(n_chars) * 10000) DIV count(1) AS BIGINT)"
+            "CAST((sum(n_chars) DIV count(1)) * 10000"
+            " + ((sum(n_chars) % count(1)) * 10000) DIV count(1) AS BIGINT)"
         ).alias("avg_chars_x10000"),
         F.countDistinct("source").alias("n_sources"),
     )
@@ -399,31 +404,53 @@ def q_span_text_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_BUCKET_S = 3 * 86400  # time-bucket width = interval width (3 days)
+
+
 def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval range join [R7]: count overlapping ship windows per supplier
     (reference bedtools-intersect analogue, check_beds.sh:19-44), bounded to
-    1996-H1 shipments."""
+    1996-H1 shipments.
+
+    Skew-safe plan: each interval explodes to the fixed 3-day time buckets it
+    covers (<= 2 per interval since width == bucket), the self-join key is
+    (l_suppkey, bucket) — so a hot supplier's intervals spread over its time
+    buckets instead of one quadratic task — and the exact range predicate is
+    a residual filter. Each overlapping pair is attributed to exactly ONE
+    bucket (the one containing the overlap start, max(sa, sb)), so no
+    distinct/dedup shuffle is needed. The reference's own check partitions
+    per-file before intersecting (check_beds.sh:19-44); this is the Spark
+    analogue of partitioning by more than the supplier key."""
     li = _read(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
     )
+    w = F.lit(OVERLAP_BUCKET_S)
     iv = li.select(
         "l_suppkey",
         F.col("l_orderkey").alias("k"),
         F.col("l_linenumber").alias("ln"),
         F.unix_timestamp("l_shipdate").alias("s"),
         (F.unix_timestamp("l_shipdate") + F.lit(3 * 86400)).alias("e"),
+    ).withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("s") / w), F.floor((F.col("e") - 1) / w))),
     )
-    a = iv.select("l_suppkey", F.col("k").alias("ka"), F.col("ln").alias("la"),
-                  F.col("s").alias("sa"), F.col("e").alias("ea"))
-    b = iv.select("l_suppkey", F.col("k").alias("kb"), F.col("ln").alias("lb"),
-                  F.col("s").alias("sb"), F.col("e").alias("eb"))
-    pairs = a.join(b, "l_suppkey").where(
+    a = iv.select("l_suppkey", "bucket", F.col("k").alias("ka"),
+                  F.col("ln").alias("la"), F.col("s").alias("sa"),
+                  F.col("e").alias("ea"))
+    b = iv.select("l_suppkey", "bucket", F.col("k").alias("kb"),
+                  F.col("ln").alias("lb"), F.col("s").alias("sb"),
+                  F.col("e").alias("eb"))
+    pairs = a.join(b, ["l_suppkey", "bucket"]).where(
         (F.col("sa") < F.col("eb"))
         & (F.col("sb") < F.col("ea"))
         & (
             (F.col("ka") < F.col("kb"))
             | ((F.col("ka") == F.col("kb")) & (F.col("la") < F.col("lb")))
         )
+        # exactly-once attribution: count the pair only in the bucket where
+        # the overlap starts
+        & (F.floor(F.greatest("sa", "sb") / w) == F.col("bucket"))
     )
     return pairs.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_overlapping_pairs")
@@ -800,8 +827,9 @@ def oracle_sql() -> dict[str, str]:
         "summary_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   CAST((sum(n_chars) * 10000) // count(*) AS BIGINT)
-                       AS avg_chars_x10000,
+                   CAST((sum(n_chars) // count(*)) * 10000
+                        + ((sum(n_chars) % count(*)) * 10000) // count(*)
+                        AS BIGINT) AS avg_chars_x10000,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,

@@ -30,11 +30,16 @@ def _build_bench_corpus(spark, n_docs: int):
     """Deterministic synthetic pages corpus, cached as parquet. Generated
     directly in Spark (not driver-side python) so corpus build scales too:
     seeds are a distributed range, text is derived per-seed with xxhash-based
-    word selection, and ~3% of docs are near-duplicate mutations of a base."""
+    word selection. Composition: ~96.2% unique base docs, ~3% near-duplicate
+    mutations of a base, ~0.5% docs with a planted internal repeat >= the
+    mask threshold (exercises the `masked` span kind at bench scale), ~0.3%
+    null/short docs (`ambiguous` kind) — so the 4-way span tiling invariant
+    (reference tests/checks.txt:8-9) is evidenced on the bench corpus, not
+    just in unit tests."""
     cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
-        f"pages_{n_docs}",
+        f"pages_v2_{n_docs}",
     )
     # repartition after read: the cached corpus is one ~100MB parquet file,
     # which maxPartitionBytes turns into 1-2 scan partitions — every
@@ -49,7 +54,10 @@ def _build_bench_corpus(spark, n_docs: int):
     from genome_deduplication_spark.fixtures.pages import _WORDS
 
     words = F.array(*[F.lit(w) for w in _WORDS])
-    n_base = int(n_docs * 0.97)
+    n_dup = max(int(n_docs * 0.03), 1)
+    n_rep = max(n_docs // 200, 1)   # planted internal-repeat docs (masked)
+    n_amb = max(n_docs // 400, 1)   # null/short docs (ambiguous)
+    n_base = n_docs - n_dup - n_rep - n_amb
     base = spark.range(n_base).select(
         F.concat(F.lit("https://bench.example/"), F.col("id")).alias("url"),
         (
@@ -71,9 +79,8 @@ def _build_bench_corpus(spark, n_docs: int):
     base = base.select(
         "url", "warc_ts", text.alias("text"), F.lit("en").alias("lang")
     )
-    # near-dup copies of the first (n_docs - n_base) base docs: mutate one
+    # near-dup copies of the first n_dup base docs: mutate one
     # word (position derived from seed) — Jaccard >> threshold
-    n_dup = n_docs - n_base
     dups = spark.range(n_dup).select(
         F.concat(F.lit("https://bench.example/dup/"), F.col("id")).alias("url"),
         (
@@ -100,7 +107,50 @@ def _build_bench_corpus(spark, n_docs: int):
     dups = dups.select(
         "url", "warc_ts", dup_text.alias("text"), F.lit("en").alias("lang")
     )
-    pages = base.unionByName(dups)
+    # internal-repeat docs: a ~200-char block appears twice inside otherwise
+    # unique text — canonical docs whose repeat exceeds the 120-byte mask
+    # threshold, so the spans table gets real `masked` bytes at bench scale
+    reps = spark.range(n_rep).select(
+        F.concat(F.lit("https://bench.example/rep/"), F.col("id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("id").alias("seed"),
+    )
+    def _wordseq(salt: str, n_words: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.element_at(
+                words,
+                (F.pmod(F.xxhash64(F.lit(salt), F.col("seed"), i), F.size(words)) + 1)
+                .cast("int"),
+            ),
+        )
+    block = F.concat_ws(" ", _wordseq("repblock", 28))  # ~200 bytes >= 120
+    rep_text = F.concat_ws(
+        " ",
+        F.concat_ws(" ", _wordseq("reppre", 25)),
+        block,
+        F.concat_ws(" ", _wordseq("repmid", 25)),
+        block,
+        F.concat_ws(" ", _wordseq("reppost", 25)),
+    )
+    reps = reps.select(
+        "url", "warc_ts", rep_text.alias("text"), F.lit("en").alias("lang")
+    )
+    # ambiguous docs: below-shingle-width text (odd seeds) or null (even) —
+    # the normalize stage must split these off as the `ambiguous` span kind
+    amb = spark.range(n_amb).select(
+        F.concat(F.lit("https://bench.example/amb/"), F.col("id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-04-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        F.when(F.col("id") % 2 == 1, F.lit("tiny")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    pages = base.unionByName(dups).unionByName(reps).unionByName(amb)
     pages.write.mode("overwrite").parquet(cache)
     return spark.read.parquet(cache).repartition(par, "url")
 
@@ -176,18 +226,42 @@ def main() -> None:
     norm_docs = tables["normalized"].where("NOT is_ambiguous").drop(
         "is_ambiguous"
     )
+    spans = build_spans_table(
+        norm_docs,
+        tables["clusters"].select("url", "cluster_id"),
+        tables["ambiguous"],
+        min_repeat_len=cfg.min_common_substring,
+    ).localCheckpoint(eager=False)
     span_rows = (
-        build_spans_table(
-            norm_docs,
-            tables["clusters"].select("url", "cluster_id"),
-            tables["ambiguous"],
-            min_repeat_len=cfg.min_common_substring,
-        )
-        .groupBy("kind")
+        spans.groupBy("kind")
         .agg(F.sum(F.col("end") - F.col("start")).alias("bytes"))
         .collect()
     )
     span_bytes = {r["kind"]: int(r["bytes"]) for r in span_rows}
+    # 4-way tiling invariant at bench scale (reference check 5,
+    # tests/checks.txt:8-9): every byte of every doc in exactly one kind —
+    # all four kinds present, zero coverage gaps, and total span bytes ==
+    # total corpus bytes (equality + no gaps rules out overlaps too)
+    from genome_deduplication_spark.operators.spans import coverage_gaps
+
+    all_docs = norm_docs.select("url", "text").unionByName(
+        tables["ambiguous"].select("url", "text")
+    )
+    n_gaps = coverage_gaps(spans.select("url", "start", "end"), all_docs).count()
+    total_doc_bytes = all_docs.agg(
+        F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("b")
+    ).collect()[0]["b"]
+    tiling_ok = (
+        set(span_bytes) == {"sample", "masked", "ignored", "ambiguous"}
+        and all(v > 0 for v in span_bytes.values())
+        and n_gaps == 0
+        and sum(span_bytes.values()) == int(total_doc_bytes)
+    )
+    assert tiling_ok, {
+        "span_bytes": span_bytes,
+        "n_gaps": n_gaps,
+        "total_doc_bytes": int(total_doc_bytes),
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -204,6 +278,7 @@ def main() -> None:
                 "pipeline_docs_per_sec": round(n_pages / pipeline_sec, 1),
                 "lsh_bucket_skew": skew,
                 "span_kind_bytes": span_bytes,
+                "span_tiling_ok": tiling_ok,
             }
         )
     )

@@ -61,7 +61,8 @@ DROP_CAP = 100_000  # buckets beyond this are degenerate mega-templates
 
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
-                    id_col: str = "url", sig_col: str = "minhash") -> DataFrame:
+                    id_col: str = "url", sig_col: str = "minhash",
+                    with_stats: bool = False):
     """Distinct candidate (id_a < id_b) pairs from shared band buckets.
 
     Emits a *star* within each (capped) bucket: every member pairs with the
@@ -77,12 +78,21 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     (2) sorted capped member arrays, pairs generated JVM-side by array
     transforms. One wide shuffle + one co-partitioned join, vs. the naive
     window-sort + self-join + distinct (4 shuffles, one of them a full sort).
+
+    ``with_stats=True`` returns ``(pairs, stats)`` where stats is the
+    one-row truncation accounting of *this same* counts pass: the counts
+    aggregate is lazily checkpointed and shared, so materializing the pairs
+    leaves the counts cached and the stats job reuses them instead of
+    re-scanning the signatures (the truncation_stats full-pass path).
     """
     buckets = band_buckets(signatures, cfg, id_col, sig_col)
 
     counts = buckets.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("_n")
     )
+    if with_stats:
+        counts = counts.localCheckpoint(eager=False)
+        stats = _truncation_agg(counts, cfg)
     ok = counts.where(F.col("_n") <= DROP_CAP).select("band_id", "band_hash")
     # same join key as the groupBy -> exchange reuse, no extra shuffle.
     # Members are rank-filtered to max_bucket_size BEFORE collect_list (a
@@ -116,10 +126,32 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         )
     )
     pair_arr = F.when(sz <= CLIQUE_BUDGET, clique).otherwise(star)
-    return (
+    pairs = (
         members.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+    return (pairs, stats) if with_stats else pairs
+
+
+def _truncation_agg(counts: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One-row truncation accounting over a (band_id, band_hash, _n) counts
+    table: see truncation_stats."""
+    return counts.agg(
+        F.count(F.lit(1)).alias("buckets_total"),
+        F.sum(
+            F.when(F.col("_n") > DROP_CAP, 1).otherwise(0)
+        ).alias("buckets_dropped"),
+        F.sum(
+            F.when(
+                (F.col("_n") > cfg.max_bucket_size)
+                & (F.col("_n") <= DROP_CAP),
+                1,
+            ).otherwise(0)
+        ).alias("buckets_capped"),
+        F.sum(
+            F.when(F.col("_n") > DROP_CAP, F.col("_n")).otherwise(0)
+        ).alias("docs_in_dropped"),
     )
 
 
@@ -138,22 +170,7 @@ def truncation_stats(signatures: DataFrame, cfg: DedupConfig,
         .groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    return counts.agg(
-        F.count(F.lit(1)).alias("buckets_total"),
-        F.sum(
-            F.when(F.col("_n") > DROP_CAP, 1).otherwise(0)
-        ).alias("buckets_dropped"),
-        F.sum(
-            F.when(
-                (F.col("_n") > cfg.max_bucket_size)
-                & (F.col("_n") <= DROP_CAP),
-                1,
-            ).otherwise(0)
-        ).alias("buckets_capped"),
-        F.sum(
-            F.when(F.col("_n") > DROP_CAP, F.col("_n")).otherwise(0)
-        ).alias("docs_in_dropped"),
-    )
+    return _truncation_agg(counts, cfg)
 
 
 def bucket_stats(signatures: DataFrame, cfg: DedupConfig,

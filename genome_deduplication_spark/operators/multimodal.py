@@ -2,13 +2,18 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; the
 Spark-side plumbing (schemas, batching, partition sizing) is real and
-tested, while the codec step is stubbed behind DECODERS_AVAILABLE — the
-decode libraries are not in this container (by design; see module tests).
+tested. The decode step has two tiers:
 
-The deterministic fake decoder lets the full pipeline (decode -> feature ->
-dedup-by-feature) run end-to-end in tests: it derives a fixed-length
-"feature vector" from the payload bytes, so two identical payloads produce
-identical features (which is all the dedup path needs).
+* **Real stdlib-only decoders** for uncompressed raster formats — binary
+  PPM (P6) and 24-bit uncompressed BMP — parsed with pure python + numpy
+  (no codec libraries needed), producing an (H, W, 3) uint8 pixel array and
+  a real pixel-derived feature (histogram + pooled-grid).
+* **Unsupported formats** (PNG/JPEG/audio/video — their codec libraries are
+  not in this container): either a deterministic byte-derived fallback
+  feature (default, keeps the dedup-by-feature path runnable end-to-end:
+  identical payloads still produce identical features) or a
+  ``NotImplementedError`` under ``on_unsupported="raise"`` — the package's
+  only stub, now reachable only for genuinely unsupported codecs.
 """
 
 from __future__ import annotations
@@ -21,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DECODERS_AVAILABLE = False  # real image/audio codecs not present in-container
+# formats the stdlib-only decoder handles for real
+SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp")
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -48,8 +54,9 @@ _FEAT_DIM = 32
 
 
 def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed: bucket byte histogram
-    folded to _FEAT_DIM floats. Identical payloads -> identical features."""
+    """Deterministic fallback for payloads in formats the stdlib decoder
+    cannot handle: bucket byte histogram folded to _FEAT_DIM floats.
+    Identical payloads -> identical features (all the dedup path needs)."""
     if not payload:
         return np.zeros(_FEAT_DIM, dtype=np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -58,18 +65,133 @@ def _fake_feature(payload: bytes) -> np.ndarray:
     return hist / n if n > 0 else hist
 
 
-def decode_and_featurize(media: DataFrame, batch_rows: int = 256) -> DataFrame:
-    """media table -> (media_id, kind, feature array<float>, n_bytes).
+def detect_image_format(payload: bytes) -> str | None:
+    """Magic-byte sniff: 'ppm' (binary P6), 'bmp' (BM...), else None."""
+    if payload[:2] == b"P6" and (len(payload) > 2 and payload[2:3] in b" \t\r\n#"):
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (H, W, 3) uint8. Pure python header
+    parse (whitespace/#-comment tokens per the netpbm spec) + numpy reshape."""
+    pos = 2  # past 'P6'
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
+    pos += 1  # single whitespace after maxval
+    n = width * height * 3
+    data = payload[pos : pos + n]
+    if len(data) != n:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB, bottom-up or top-down) -> (H, W, 3)
+    uint8 RGB. Pure struct-offset header parse."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a supported raster payload to (H, W, 3) uint8 RGB.
+
+    Real decode for SUPPORTED_IMAGE_FORMATS (stdlib + numpy only);
+    NotImplementedError for every other format — compressed codecs
+    (PNG/JPEG/...) need libraries absent in this container."""
+    fmt = detect_image_format(payload)
+    if fmt == "ppm":
+        return _decode_ppm(payload)
+    if fmt == "bmp":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image format (stdlib decoder handles "
+        f"{SUPPORTED_IMAGE_FORMATS}; compressed codecs absent in container)"
+    )
+
+
+def image_feature(pixels: np.ndarray) -> np.ndarray:
+    """Real pixel feature (_FEAT_DIM floats): 16-bin grayscale histogram
+    (normalized) + 4x4 mean-pooled grayscale grid — format-independent, so
+    the same image encoded as PPM and BMP produces the identical feature."""
+    gray = pixels.astype(np.float32).mean(axis=2)
+    hist = np.histogram(gray, bins=16, range=(0.0, 256.0))[0].astype(np.float32)
+    hist /= max(float(hist.sum()), 1.0)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    grid = np.array(
+        [
+            gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                 xs[j] : max(xs[j + 1], xs[j] + 1)].mean() / 255.0
+            for i in range(4)
+            for j in range(4)
+        ],
+        dtype=np.float32,
+    )
+    return np.concatenate([hist, grid])
+
+
+def decode_and_featurize(
+    media: DataFrame, batch_rows: int = 256, on_unsupported: str = "fallback"
+) -> DataFrame:
+    """media table -> (media_id, kind, feature array<float>, n_bytes,
+    decoded boolean).
+
+    Payloads in SUPPORTED_IMAGE_FORMATS get a real decode + pixel feature
+    (decoded=true); others get the deterministic byte-derived fallback
+    feature (decoded=false), or raise NotImplementedError when
+    ``on_unsupported="raise"``.
 
     mapInPandas so one Arrow batch holds `batch_rows` payloads — the batch
     shape is sized for large binaries (keep `batch_rows * payload_size`
     under executor Arrow memory; callers with big media should also set
     spark.sql.execution.arrow.maxRecordsPerBatch accordingly).
     """
-    if DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError(
-            "real codec path requires image/audio libs absent in container"
-        )
+    if on_unsupported not in ("fallback", "raise"):
+        raise ValueError(f"on_unsupported={on_unsupported!r}")
+    strict = on_unsupported == "raise"
 
     out_schema = T.StructType(
         [
@@ -77,23 +199,30 @@ def decode_and_featurize(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             T.StructField("kind", T.StringType()),
             T.StructField("feature", T.ArrayType(T.FloatType())),
             T.StructField("n_bytes", T.LongType()),
+            T.StructField("decoded", T.BooleanType()),
         ]
     )
 
+    def _one(payload) -> tuple[list[float], bool]:
+        p = payload if payload is not None else b""
+        if detect_image_format(p) is not None:
+            return image_feature(decode_image(p)).tolist(), True
+        if strict:
+            decode_image(p)  # raises NotImplementedError with the details
+        return _fake_feature(p).tolist(), False
+
     def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _fake_feature(p if p is not None else b"").tolist()
-                for p in pdf["payload"]
-            ]
+            pairs = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
+                    "feature": [f for f, _ in pairs],
                     "n_bytes": [
                         0 if p is None else len(p) for p in pdf["payload"]
                     ],
+                    "decoded": [d for _, d in pairs],
                 }
             )
 

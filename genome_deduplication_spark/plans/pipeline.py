@@ -40,10 +40,7 @@ from genome_deduplication_spark.operators.connected_components import (
     components_for_string_ids,
 )
 from genome_deduplication_spark.operators.exact_dedup import content_key
-from genome_deduplication_spark.operators.lsh import (
-    candidate_pairs,
-    truncation_stats,
-)
+from genome_deduplication_spark.operators.lsh import candidate_pairs
 from genome_deduplication_spark.operators.suffix_array import (
     exact_substring_pairs,
     pairs_from_anchor_rows,
@@ -68,6 +65,8 @@ def dedup_pipeline(
         RunContext(spark, run_dir, cfg.to_json()) if run_dir is not None else None
     )
 
+    resumed: set[str] = set()
+
     def stage(name: str, build, reused: bool = True):
         if ctx is None:
             # No durable checkpoint requested. Cache only stages that are
@@ -78,13 +77,20 @@ def dedup_pipeline(
             # what caps local scaling efficiency — see BENCH.md.)
             df = build()
             return df.localCheckpoint(eager=False) if reused else df
+        if ctx.is_complete(name):
+            resumed.add(name)
         return ctx.stage(name, build)
 
-    def metrics(name: str, **kv):
+    def metrics(name: str, guard_stage: str | None = None, **kv):
         # kv values are thunks — only evaluated (each is a Spark job) when a
-        # run context is recording lineage
-        if ctx is not None:
-            ctx.record_metrics(name, {k: v() for k, v in kv.items()})
+        # run context is recording lineage. guard_stage makes the block
+        # exactly-once across resumes: a stage reused from its checkpoint
+        # already wrote its metrics in the run that built it, so re-running
+        # the (Spark-job) thunks would both waste jobs and append duplicate
+        # rows (record_metrics also replaces per-stage, as defense in depth).
+        if ctx is None or (guard_stage is not None and guard_stage in resumed):
+            return
+        ctx.record_metrics(name, {k: v() for k, v in kv.items()})
 
     # -- 1 normalize ----------------------------------------------------------
     # the reference's parse+clean entry (code/dedup2.py:461-468): when the
@@ -114,6 +120,7 @@ def dedup_pipeline(
     ambiguous = normalized.where(F.col("is_ambiguous"))
     metrics(
         "normalize",
+        guard_stage="normalize",
         docs_in=pages.count,
         docs_ok=docs.count,
         docs_ambiguous=ambiguous.count,
@@ -143,7 +150,7 @@ def dedup_pipeline(
         )
 
     signatures = stage("signatures", _signatures)
-    metrics("signatures", signatures_out=signatures.count)
+    metrics("signatures", guard_stage="signatures", signatures_out=signatures.count)
 
     # -- 3 candidates ----------------------------------------------------------
     # exact-duplicate short-circuit: identical content hash is a sure edge —
@@ -167,31 +174,37 @@ def dedup_pipeline(
 
     exact_edges = stage("exact_edges", _exact_edges)
 
-    def _lsh_pairs():
-        reps = signatures.groupBy("content_hash").agg(
+    def _reps():
+        # exact-group representatives: one signature per content hash, so a
+        # 10^6-copy mega-duplicate costs one signature in every band bucket
+        return signatures.groupBy("content_hash").agg(
             F.min(F.struct("warc_ts", "url")).alias("_c"),
             F.first("minhash").alias("minhash"),
         ).select(F.col("_c.url").alias("url"), "minhash")
-        pairs = candidate_pairs(reps, cfg, id_col="url", sig_col="minhash")
-        # drop pairs already known exact dups (same content_hash is impossible
-        # here since reps are one-per-hash, so nothing to subtract)
+
+    # truncation accounting (lsh.py's docstring promise: buckets the
+    # candidate stage dropped/capped are accounted, never silent — reference
+    # analogue code/dedup2.py:480-493) shares the bucket-counts pass with
+    # candidate generation: materializing the pairs caches the lazily
+    # checkpointed counts, and the stats job reuses them instead of
+    # re-scanning the signatures.
+    trunc_holder: dict = {}
+
+    def _lsh_pairs():
+        if ctx is None:
+            return candidate_pairs(_reps(), cfg, id_col="url", sig_col="minhash")
+        pairs, stats = candidate_pairs(
+            _reps(), cfg, id_col="url", sig_col="minhash", with_stats=True
+        )
+        trunc_holder["stats"] = stats
         return pairs
+        # pairs already known exact dups need no subtraction: reps are
+        # one-per-content-hash, so same-hash pairs cannot appear
 
     lsh_pairs = stage("lsh_pairs", _lsh_pairs, reused=False)
 
-    def _truncation():
-        # one job for all truncation counters (lsh.py's docstring promise:
-        # buckets the candidate stage dropped/capped are accounted, never
-        # silent — reference analogue code/dedup2.py:480-493)
-        reps = signatures.groupBy("content_hash").agg(
-            F.min(F.struct("warc_ts", "url")).alias("_c"),
-            F.first("minhash").alias("minhash"),
-        ).select(F.col("_c.url").alias("url"), "minhash")
-        row = truncation_stats(reps, cfg, id_col="url").collect()[0]
-        return row.asDict()
-
-    if ctx is not None:
-        trunc = _truncation()
+    if ctx is not None and "lsh_pairs" not in resumed:
+        trunc = trunc_holder["stats"].collect()[0].asDict()
         ctx.record_metrics(
             "candidates",
             {
@@ -212,6 +225,7 @@ def dedup_pipeline(
     dup_edges = verified.where("is_dup").select("id_a", "id_b")
     metrics(
         "verify",
+        guard_stage="verified",
         pairs_in=verified.count,
         pairs_dup=dup_edges.count,
     )
@@ -243,6 +257,7 @@ def dedup_pipeline(
         substr_edges = substr.where("is_substring_dup").select("id_a", "id_b")
         metrics(
             "substring",
+            guard_stage="substring",
             pairs_checked=substr.count,
             pairs_substring_dup=substr_edges.count,
         )
@@ -274,6 +289,7 @@ def dedup_pipeline(
     clusters = stage("clusters", _clusters)
     metrics(
         "clusters",
+        guard_stage="clusters",
         docs_clustered=clusters.count,
         n_clusters=clusters.select("cluster_id").distinct().count,
     )

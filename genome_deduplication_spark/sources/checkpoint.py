@@ -5,11 +5,13 @@ The reference checkpoints its global k-mer set to pickle every
 Here every pipeline stage writes its output table to the run directory and
 records completion in a manifest; a resumed run reuses any completed stage.
 
-Format: Iceberg tables when an Iceberg catalog is configured on the session
-(``spark.sql.catalog.*`` conf), else plain Parquet with a JSON manifest —
-the semantics (atomic completion marker, schema capture, row count) are the
-same. In production the Iceberg snapshot id is the marker; in this sandbox
-the Iceberg runtime jar is absent, so the Parquet path is what tests run.
+Format: plain Parquet stage tables with an atomically-renamed JSON manifest
+as the completion marker — this is the implemented and tested mechanism.
+Iceberg is a documented swap-in (replace the parquet write/read in
+write_stage/read_stage with a DSv2 ``writeTo(...).createOrReplace()`` /
+``read.format("iceberg")`` against a configured catalog, using the snapshot
+id as the completion marker); the runtime jar is absent in this sandbox, so
+no Iceberg code path is claimed as exercised here.
 """
 
 from __future__ import annotations
@@ -115,9 +117,24 @@ class RunContext:
     # -- lineage metrics -----------------------------------------------------
 
     def record_metrics(self, stage: str, metrics: dict[str, int | float]) -> None:
+        """Record a stage's lineage metrics, replacing any earlier row for
+        the same stage (atomic rewrite) so a redone stage cannot leave
+        duplicate rows — the metrics.jsonl twin of _replace_stage_counters'
+        exactly-once invariant."""
         path = os.path.join(self.run_dir, "metrics.jsonl")
-        with open(path, "a") as f:
+        kept: list[str] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                kept = [
+                    line
+                    for line in f
+                    if line.strip() and json.loads(line).get("stage") != stage
+                ]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
             f.write(json.dumps({"stage": stage, **metrics}) + "\n")
+        os.replace(tmp, path)
 
     def read_metrics(self) -> list[dict]:
         path = os.path.join(self.run_dir, "metrics.jsonl")
@@ -138,7 +155,13 @@ class RunContext:
         makes the resumed run redo the stage — a plain append would then
         leave two sets of rows and break the exactly-once invariant (sum ==
         manifest rows). Dropping the stage's old rows first makes the redo
-        idempotent."""
+        idempotent.
+
+        Single-writer contract: a run_dir belongs to exactly one RunContext
+        at a time (the config guard enforces same-config, not mutual
+        exclusion) — this read-modify-write is unlocked by design, matching
+        the reference's one-process-per-run checkpoint files
+        (code/dedup2.py:290-296)."""
         path = self._counters_path()
         kept: list[str] = []
         if os.path.exists(path):

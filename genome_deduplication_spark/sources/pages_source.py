@@ -2,10 +2,16 @@
 
 The reference expands a manifest of FASTA paths, filters to existing files
 with a warning, and persists a basename->path map
-(code/dedup2.py:517-539). The Spark equivalent: read an Iceberg table when
-a catalog is configured, else a list of parquet paths / a manifest file of
-paths, with missing-path accounting surfaced as a lineage metric instead of
-a stderr warning.
+(code/dedup2.py:517-539). The Spark equivalent implemented and tested here
+is **parquet paths / path manifests** with missing-path accounting surfaced
+as a lineage metric instead of a stderr warning.
+
+``table_format="iceberg"`` routes through the standard DSv2
+``spark.read.format("iceberg")`` hook as a documented swap-in: it is
+exercised by tests only up to Spark's data-source resolution (the
+iceberg-spark-runtime jar is absent in this sandbox, so resolution raises),
+and the checkpointing layer likewise uses parquet + an atomic JSON manifest
+rather than Iceberg snapshots — see sources/checkpoint.py.
 """
 
 from __future__ import annotations
@@ -40,7 +46,11 @@ def read_pages(
     """
     lineage: dict = {"missing_paths": []}
     if table_format == "iceberg":
-        df = spark.read.format("iceberg").load(source)  # pragma: no cover
+        # DSv2 swap-in: needs the iceberg-spark-runtime jar + a catalog conf
+        # on the session; without them Spark's source resolution raises
+        # (tested) — the parquet+manifest path below is what this sandbox
+        # runs end to end.
+        df = spark.read.format("iceberg").load(source)
         return df, lineage
     if isinstance(source, str) and source.endswith((".txt", ".list")):
         existing, missing = expand_manifest(source)

@@ -150,12 +150,16 @@ def main() -> int:
             print(f"ROWS  {name}: {len(sset)} rows (no oracle)")
             continue
         try:
-            orel = con.execute(osql[name])
-            otbl = orel.arrow()
-            # Mirror the driver's DuckDB→pandas path: .df()-equivalent
-            # conversion (HUGEINT/DECIMAL become float64 here, exposing
-            # representation drift that Arrow-level compare also flags).
-            opdf = con.execute(osql[name]).df()
+            # Execute the (possibly expensive recursive-CTE) oracle ONCE
+            # into a temp table; both the Arrow-level type view and the
+            # driver-mirroring .df() pandas view are then cheap scans of the
+            # materialized result with their native type conversions intact
+            # (HUGEINT stays HUGEINT in the table, so .arrow() still shows
+            # decimal128 and .df() still shows float64 — exactly what the
+            # double-execution version compared).
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_out AS {osql[name]}")
+            otbl = con.execute("SELECT * FROM _oracle_out").arrow()
+            opdf = con.execute("SELECT * FROM _oracle_out").df()
             ocols, oset = pdf_to_multiset(opdf)
             otypes = arrow_type_map(otbl)
         except Exception as e:
