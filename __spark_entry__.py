@@ -97,7 +97,10 @@ def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = docs.select(
         "doc_id",
         F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h"),
-    ).localCheckpoint(eager=False)  # reused by the DF filter and both join sides
+        # eager: reused by the DF filter and both join sides; a lazy mark is
+        # not persisted under AQE (PLANS.md round 4) and recomputed the
+        # Arrow shingle kernel three times
+    ).localCheckpoint(eager=True)
     rare = (
         sh_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

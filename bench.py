@@ -231,7 +231,7 @@ def main() -> None:
         tables["clusters"].select("url", "cluster_id"),
         tables["ambiguous"],
         min_repeat_len=cfg.min_common_substring,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     span_rows = (
         spans.groupBy("kind")
         .agg(F.sum(F.col("end") - F.col("start")).alias("bytes"))

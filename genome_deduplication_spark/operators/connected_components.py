@@ -89,18 +89,19 @@ def connected_components(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    # Driver fixed cost is the scaling killer at small-to-medium corpora
-    # (measured: ~6 CC rounds x 2 jobs dominated BENCH r1's Amdahl fixed
-    # term). The checkpoint is LAZY and the convergence fingerprint is the
-    # action that materializes it: ONE driver job per round instead of
-    # eager-checkpoint + agg. The fingerprint must run every round — it is
-    # what persists the round's RDD before the next round's star joins read
-    # it twice (an unmaterialized lazy checkpoint would be recomputed per
-    # reference; measured 2x pipeline regression when fingerprints were
-    # skipped on alternate rounds).
+    # Per-round materialization is EAGER. The lazy-checkpoint +
+    # fingerprint-materializes design (rounds 1-3) turned out not to
+    # persist under AQE: the fingerprint's adaptive plan computes the
+    # marked RDD without caching it, so every subsequent round recomputed
+    # the full lineage back to the last real materialization (event-log
+    # profile, BENCH.md round 4: CC rounds 2-3 cost 18.6s/12.4s on a 160k
+    # corpus whose live edge set was ~5k rows; eager rounds cost ~0.2s).
+    # Eager localCheckpoint is one extra tiny job per round but makes each
+    # round's input genuinely persisted, which is what the O(log n)-rounds
+    # cost model assumes.
     prev_fp = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

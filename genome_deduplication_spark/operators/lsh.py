@@ -91,7 +91,9 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         F.count(F.lit(1)).alias("_n")
     )
     if with_stats:
-        counts = counts.localCheckpoint(eager=False)
+        # eager: a lazy mark is not persisted under AQE (PLANS.md round 4),
+        # which would silently re-run the bucket aggregation for the stats
+        counts = counts.localCheckpoint(eager=True)
         stats = _truncation_agg(counts, cfg)
     ok = counts.where(F.col("_n") <= DROP_CAP).select("band_id", "band_hash")
     # same join key as the groupBy -> exchange reuse, no extra shuffle.

@@ -136,10 +136,11 @@ def build_spans_table(
 
     canon_docs = docs.join(canon, id_col, "left_semi")
     # reused by both the output union and the complement — don't run the
-    # suffix-array kernel twice
+    # suffix-array kernel twice (eager: a lazy mark is not persisted under
+    # AQE, PLANS.md round 4)
     masked = self_repeat_spans(
         canon_docs, min_repeat_len, id_col, text_col
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sample = coverage_gaps(masked, canon_docs, id_col, text_col)
     return (
         masked.withColumn("kind", F.lit("masked"))

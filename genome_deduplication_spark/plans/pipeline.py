@@ -69,14 +69,18 @@ def dedup_pipeline(
 
     def stage(name: str, build, reused: bool = True):
         if ctx is None:
-            # No durable checkpoint requested. Cache only stages that are
-            # consumed by more than one downstream action — checkpointing a
-            # single-consumer stage adds a driver barrier job for nothing
-            # and blocks Catalyst from fusing it into its consumer.
-            # (Measured: the driver-side fixed cost of these barriers is
-            # what caps local scaling efficiency — see BENCH.md.)
+            # No durable checkpoint requested: multi-consumer stages are
+            # EAGERLY localCheckpointed. Lazy marking looked cheaper (no
+            # barrier job) but does not persist under AQE — the adaptive
+            # plan computes a different RDD than the marked one, so every
+            # downstream consumer silently recomputed the stage (for the
+            # signatures stage that means re-running the pandas-UDF kernel
+            # per consumer). Interleaved A/B comparison at 160k docs:
+            # eager 79/105/43 s vs lazy 146/229/61 s — eager wins every
+            # adjacent pair (BENCH.md round 4). Single-consumer stages
+            # (reused=False) stay unmaterialized so Catalyst fuses them.
             df = build()
-            return df.localCheckpoint(eager=False) if reused else df
+            return df.localCheckpoint(eager=True) if reused else df
         if ctx.is_complete(name):
             resumed.add(name)
         return ctx.stage(name, build)

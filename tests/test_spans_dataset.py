@@ -143,7 +143,7 @@ def test_four_way_spans_tile_corpus(spark):
         tables["clusters"],
         tables["ambiguous"],
         min_repeat_len=120,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     docs = tables["normalized"].select("url", "text")
     # no gaps...
     assert coverage_gaps(spans, docs).count() == 0
