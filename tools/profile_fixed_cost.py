@@ -28,10 +28,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
+    import shutil
+
     evdir = "/tmp/sparkevents"
+    shutil.rmtree(evdir, ignore_errors=True)
     os.makedirs(evdir, exist_ok=True)
-    for f in os.listdir(evdir):
-        os.remove(os.path.join(evdir, f))
 
     from genome_deduplication_spark.config import DedupConfig
     from genome_deduplication_spark.plans.pipeline import dedup_pipeline
@@ -67,9 +68,28 @@ def main() -> None:
     spark.stop()
     time.sleep(1)
 
-    # parse the event log: job timeline
-    ev_files = [os.path.join(evdir, f) for f in os.listdir(evdir)]
+    # parse the event log: job timeline. Spark 4 writes a rolling DIRECTORY
+    # eventlog_v2_<app>/events_*.zstd — decompress via the zstd binary.
+    import subprocess
+
+    ev_files = []
+    for entry in os.listdir(evdir):
+        p = os.path.join(evdir, entry)
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if "events" in f:
+                    src = os.path.join(p, f)
+                    if f.endswith(".zstd"):
+                        dst = "/tmp/" + f.replace(".zstd", ".json")
+                        subprocess.run(["unzstd", "-f", src, "-o", dst],
+                                       check=True, capture_output=True)
+                        ev_files.append(dst)
+                    else:
+                        ev_files.append(src)
+        else:
+            ev_files.append(p)
     jobs = []
+    execs = {}
     for path in ev_files:
         with open(path) as f:
             for line in f:
@@ -77,44 +97,63 @@ def main() -> None:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if ev.get("Event") == "SparkListenerJobStart":
+                kind = ev.get("Event", "")
+                if kind == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
                     jobs.append(
                         {
                             "id": ev["Job ID"],
                             "start": ev["Submission Time"],
-                            "desc": ev.get("Properties", {}).get(
-                                "spark.job.description", ""
-                            ),
+                            "desc": props.get("spark.job.description", ""),
+                            "eid": props.get("spark.sql.execution.root.id")
+                            or props.get("spark.sql.execution.id"),
                         }
                     )
-                elif ev.get("Event") == "SparkListenerJobEnd":
+                elif kind == "SparkListenerJobEnd":
                     for j in jobs:
                         if j["id"] == ev["Job ID"]:
                             j["end"] = ev["Completion Time"]
+                elif kind.endswith("SQLExecutionStart"):
+                    execs[ev["executionId"]] = {
+                        "start": ev.get("time"), "end": None,
+                    }
+                elif kind.endswith("SQLExecutionEnd"):
+                    if ev["executionId"] in execs:
+                        execs[ev["executionId"]]["end"] = ev.get("time")
     jobs = [j for j in jobs if "end" in j]
     jobs.sort(key=lambda j: j["start"])
 
-    # per-rep breakdown: job wall time + gaps between consecutive jobs
+    # per-rep breakdown: per-SQL-execution wall time (the per-action view)
+    # plus the raw job list for anything unattributed
     for rep in range(args.reps):
         tag = f"rep{rep}"
         rj = [j for j in jobs if tag in j["desc"]]
         if not rj:
             continue
         span = (rj[-1]["end"] - rj[0]["start"]) / 1000.0
-        busy = sum(j["end"] - j["start"] for j in rj) / 1000.0
-        gaps = []
-        for a, b in zip(rj, rj[1:]):
-            gaps.append((b["start"] - a["end"]) / 1000.0)
-        print(
-            f"\n== {tag}: {len(rj)} jobs, span={span:.2f}s, "
-            f"in-job={busy:.2f}s, inter-job gaps={sum(gaps):.2f}s"
+        print(f"\n== {tag}: {len(rj)} jobs, span={span:.2f}s")
+        eids = sorted(
+            {int(j["eid"]) for j in rj if j["eid"] is not None}
         )
-        for i, j in enumerate(rj):
-            dur = (j["end"] - j["start"]) / 1000.0
-            gap = gaps[i - 1] if i > 0 else 0.0
+        for eid in eids:
+            e = execs.get(eid, {})
+            dur = (
+                (e["end"] - e["start"]) / 1000.0
+                if e.get("end") and e.get("start")
+                else None
+            )
+            ej = [j for j in rj if j["eid"] is not None and int(j["eid"]) == eid]
+            jdur = sum(j["end"] - j["start"] for j in ej) / 1000.0
             print(
-                f"  job {j['id']:>4} {dur:8.2f}s  (gap before: {gap:6.2f}s)  "
-                f"{j['desc'][:60]}"
+                f"  exec {eid:>3}: wall={dur if dur is None else round(dur, 2)}s"
+                f"  jobs={len(ej)} (in-job {jdur:.2f}s)  {ej[0]['desc'][:40]}"
+            )
+        big = sorted(rj, key=lambda j: j["start"] - j["end"])[:8]
+        print("  biggest jobs:")
+        for j in big:
+            print(
+                f"    job {j['id']:>4} {(j['end'] - j['start']) / 1000.0:8.2f}s"
+                f"  exec={j['eid']}"
             )
 
 
