@@ -143,9 +143,11 @@ def run_jvm(cpus: int, docs: int, reps: int, warm_docs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=640000)
+    # defaults = the levels inside this VM's linear envelope (see module
+    # docstring); pass --low 8 --high 32 to reproduce the host-ceiling runs
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=160000)
     ap.add_argument("--order", default="ABBABAAB",
                     help="JVM schedule; A=local[low], B=local[high]")
     ap.add_argument("--reps-per-jvm", type=int, default=1)

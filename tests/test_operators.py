@@ -292,3 +292,26 @@ def test_overlap_pairs_join_key_includes_time_bucket(spark):
     join_lines = [ln for ln in plan.splitlines() if re.search(r"\bJoin\b", ln)]
     assert join_lines, plan
     assert any("bucket#" in ln for ln in join_lines), "\n".join(join_lines)
+
+
+def test_cc_rounds_actually_persist(spark):
+    """Regression guard for the round-4 caching bug: lazy
+    localCheckpoint(eager=False) is silently NOT persisted under AQE, so
+    CC rounds recomputed full lineage. The eager rounds must leave
+    persisted RDDs behind (storage level with memory or disk set)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 4)]
+        + [(i, i + 2) for i in range(0, 400, 4)],
+        "src long, dst long",
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    comp = connected_components(edges)
+    n = comp.count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n > 0
+    assert after > before, (
+        "connected_components rounds left no persisted RDDs — the eager "
+        "localCheckpoint contract is broken (see PLANS.md round 4)"
+    )
