@@ -127,7 +127,7 @@ def make_doc_signature_udf(cfg: DedupConfig):
     (oracle.poly twins / functions.shingles.poly_shingles31_py).
     """
     from genome_deduplication_spark.functions.shingles import (
-        poly_window_hashes_np,
+        poly_window_hashes_batched,
     )
 
     a_list, b_list = cfg.minhash_coefficients()
@@ -154,18 +154,31 @@ def make_doc_signature_udf(cfg: DedupConfig):
         for series in it:
             texts = series.to_numpy()
             n_rows = len(texts)
+            # Chunked batch prefix rolling hash: docs are concatenated into
+            # ~32KB L2-resident groups and BOTH window widths (shingle k +
+            # anchor width) derive from one shared modular prefix sum per
+            # group — O(n) vector passes total vs O(k_shingle + k_anchor)
+            # per-doc passes, with every operand cache-resident (the
+            # whole-batch flat variant was DRAM-streaming and collapsed
+            # under host bandwidth contention — PLANS.md round 4). Values
+            # are bit-identical to the per-doc kernel (property-tested +
+            # diff-twin vs the pure-Python oracle).
+            enc = [(t or "").encode("utf-8") for t in texts]
+            per_doc = poly_window_hashes_batched(enc, (k, anchor_k))
+            sh_rows_raw = per_doc[k]
+            aw_rows_raw = per_doc[anchor_k]
+            _empty = np.empty(0, dtype=np.int64)
             shingle_rows: list = []
             anchor_rows: list = []
             lengths = np.empty(n_rows, dtype=np.int64)
-            for i, t in enumerate(texts):
-                data = np.frombuffer(
-                    (t or "").encode("utf-8"), dtype=np.uint8
-                )
-                sh = np.unique(poly_window_hashes_np(data, k))
+            for i in range(n_rows):
+                sh = np.unique(sh_rows_raw[i])
                 lengths[i] = len(sh)
                 shingle_rows.append(sh)
-                aw = poly_window_hashes_np(data, anchor_k)
-                anchor_rows.append(np.unique(aw[aw % anchor_m == 0]))
+                aw = aw_rows_raw[i]
+                anchor_rows.append(
+                    np.unique(aw[aw % anchor_m == 0]) if len(aw) else _empty
+                )
             mh_out: list = [None] * n_rows
             sh_out: list = [None] * n_rows
             nonempty = np.flatnonzero(lengths > 0)
