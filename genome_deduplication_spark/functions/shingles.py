@@ -169,6 +169,7 @@ def poly_window_hashes_multi(
     batch's documents and slice per-document windows out (windows starting
     inside doc d read only doc d's bytes iff the slice stops k-1 short of
     the boundary, which per-doc window counts guarantee)."""
+    widths = tuple(dict.fromkeys(widths))  # dedupe: out is keyed by width
     n = len(data)
     out: dict[int, np.ndarray] = {}
     live = [k for k in widths if n >= k]
@@ -216,6 +217,10 @@ def poly_window_hashes_batched(
     Cuts the per-doc numpy-call count ~40x while keeping every vector
     operand L2-resident — the noise-immunity of the per-doc path with the
     pass count of the flat path."""
+    # Dedupe widths: `out` is keyed by width, so iterating a duplicated
+    # tuple (legal when anchor_width == shingle_k) would append each doc's
+    # rows twice per group and silently misalign every downstream slice.
+    widths = tuple(dict.fromkeys(widths))
     out: dict[int, list[np.ndarray]] = {k: [] for k in widths}
     _empty = np.empty(0, dtype=np.int64)
     n_docs = len(enc)

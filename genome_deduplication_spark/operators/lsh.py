@@ -81,9 +81,11 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
 
     ``with_stats=True`` returns ``(pairs, stats)`` where stats is the
     one-row truncation accounting of *this same* counts pass: the counts
-    aggregate is lazily checkpointed and shared, so materializing the pairs
-    leaves the counts cached and the stats job reuses them instead of
-    re-scanning the signatures (the truncation_stats full-pass path).
+    aggregate is eagerly localCheckpointed at candidate_pairs() call time
+    (a Spark job runs here — lazy marks are silently not persisted under
+    AQE, see PLANS.md round 4), so both the pairs plan and the stats job
+    read the persisted counts instead of re-scanning the signatures (the
+    truncation_stats full-pass path).
     """
     buckets = band_buckets(signatures, cfg, id_col, sig_col)
 

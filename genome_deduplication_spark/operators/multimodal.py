@@ -4,11 +4,12 @@ Images/audio/video ride as `binary` columns with a metadata struct; the
 Spark-side plumbing (schemas, batching, partition sizing) is real and
 tested. The decode step has two tiers:
 
-* **Real stdlib-only decoders** for uncompressed raster formats — binary
-  PPM (P6) and 24-bit uncompressed BMP — parsed with pure python + numpy
+* **Real stdlib-only decoders** for raster formats — binary PPM (P6),
+  24-bit uncompressed BMP, and non-interlaced 8-bit truecolor(+alpha) PNG
+  (``zlib`` inflate + per-row unfilter) — parsed with pure python + numpy
   (no codec libraries needed), producing an (H, W, 3) uint8 pixel array and
   a real pixel-derived feature (histogram + pooled-grid).
-* **Unsupported formats** (PNG/JPEG/audio/video — their codec libraries are
+* **Unsupported formats** (JPEG/audio/video — their codec libraries are
   not in this container): either a deterministic byte-derived fallback
   feature (default, keeps the dedup-by-feature path runnable end-to-end:
   identical payloads still produce identical features) or a
@@ -18,6 +19,8 @@ tested. The decode step has two tiers:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -27,7 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # formats the stdlib-only decoder handles for real
-SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp")
+SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png")
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -66,11 +71,23 @@ def _fake_feature(payload: bytes) -> np.ndarray:
 
 
 def detect_image_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: 'ppm' (binary P6), 'bmp' (BM...), else None."""
+    """Magic-byte sniff: 'ppm' (binary P6), 'bmp', 'png', else None.
+
+    The BMP sniff goes beyond the 2-byte 'BM' prefix (which random binary
+    payloads can start with): the 54-byte header must be present, the
+    declared file size and pixel-data offset must be plausible, and the
+    DIB header size must be one of the real variants — so a truncated or
+    false-positive 'BM'-prefixed payload falls through to the fallback
+    tier instead of blowing up the decode."""
     if payload[:2] == b"P6" and (len(payload) > 2 and payload[2:3] in b" \t\r\n#"):
         return "ppm"
-    if payload[:2] == b"BM":
-        return "bmp"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        if 54 <= data_off <= len(payload) and dib_size in (12, 40, 52, 56, 108, 124):
+            return "bmp"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -106,8 +123,6 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BI_RGB, bottom-up or top-down) -> (H, W, 3)
     uint8 RGB. Pure struct-offset header parse."""
-    import struct
-
     if len(payload) < 54:
         raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -134,17 +149,121 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _unfilter_png_rows(
+    raw: np.ndarray, filters: np.ndarray, ch: int
+) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4, PNG spec §9) over
+    ``raw`` (H, stride) uint8 filtered rows -> reconstructed uint8 rows.
+
+    Rows are sequential (Up/Average/Paeth read the previous reconstructed
+    row) but each row's work is numpy: None/Up are whole-row vector ops and
+    Sub is a per-lane uint8 cumsum (the a-recurrence mod 256); only
+    Average/Paeth — whose predictor mixes left and up non-linearly — scan
+    bytes, and encoders overwhelmingly emit 0/1/2 for synthetic content."""
+    height, stride = raw.shape
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        cur = raw[y].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: recon[i] = cur[i] + recon[i-ch]  (per-lane cumsum)
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch], dtype=np.uint8)
+        elif f == 2:  # Up
+            cur += prev  # uint8 wraparound == mod 256
+        elif f == 3:  # Average
+            ci = cur.astype(np.int64)
+            pi = prev.astype(np.int64)
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (ci[i] + ((left + pi[i]) >> 1)) & 0xFF
+            cur = rec.astype(np.uint8)
+        elif f == 4:  # Paeth
+            ci = cur.astype(np.int64)
+            pi = prev.astype(np.int64)
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = pi[i]
+                c = pi[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (ci[i] + pred) & 0xFF
+            cur = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit truecolor (color type 2) / truecolor+alpha
+    (type 6) PNG -> (H, W, 3) uint8 RGB, stdlib-only: chunk walk + IHDR
+    parse + ``zlib.decompress`` of the IDAT stream + per-row unfilter
+    (:func:`_unfilter_png_rows`). Alpha, when present, is dropped so the
+    pixel feature is format-independent."""
+    pos = 8  # past the signature
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit truecolor(+alpha) PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    pixels = _unfilter_png_rows(rows[:, 1:], rows[:, 0], ch)
+    pixels = pixels.reshape(height, width, ch)
+    return pixels[:, :, :3]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a supported raster payload to (H, W, 3) uint8 RGB.
 
-    Real decode for SUPPORTED_IMAGE_FORMATS (stdlib + numpy only);
-    NotImplementedError for every other format — compressed codecs
-    (PNG/JPEG/...) need libraries absent in this container."""
+    Real decode for SUPPORTED_IMAGE_FORMATS (stdlib + numpy only — PNG via
+    zlib inflate); NotImplementedError for every other format — remaining
+    compressed codecs (JPEG/...) need libraries absent in this container."""
     fmt = detect_image_format(payload)
     if fmt == "ppm":
         return _decode_ppm(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
+    if fmt == "png":
+        return _decode_png(payload)
     raise NotImplementedError(
         "unsupported image format (stdlib decoder handles "
         f"{SUPPORTED_IMAGE_FORMATS}; compressed codecs absent in container)"
@@ -180,9 +299,12 @@ def decode_and_featurize(
     decoded boolean).
 
     Payloads in SUPPORTED_IMAGE_FORMATS get a real decode + pixel feature
-    (decoded=true); others get the deterministic byte-derived fallback
-    feature (decoded=false), or raise NotImplementedError when
-    ``on_unsupported="raise"``.
+    (decoded=true); others — including sniff false-positives whose decode
+    fails (truncated headers, unsupported sub-variants like 32-bpp BMP) —
+    get the deterministic byte-derived fallback feature (decoded=false).
+    Under ``on_unsupported="raise"`` every non-decodable payload raises
+    instead (NotImplementedError for unsupported codecs/sub-variants,
+    ValueError for corrupt data).
 
     mapInPandas so one Arrow batch holds `batch_rows` payloads — the batch
     shape is sized for large binaries (keep `batch_rows * payload_size`
@@ -206,7 +328,16 @@ def decode_and_featurize(
     def _one(payload) -> tuple[list[float], bool]:
         p = payload if payload is not None else b""
         if detect_image_format(p) is not None:
-            return image_feature(decode_image(p)).tolist(), True
+            # The sniff can false-positive (e.g. a 32-bpp BMP, or random
+            # bytes that pass the header checks): under the default
+            # fallback contract a failed decode must degrade to the
+            # byte-derived feature, never kill the job.
+            try:
+                return image_feature(decode_image(p)).tolist(), True
+            except (NotImplementedError, ValueError):
+                if strict:
+                    raise
+                return _fake_feature(p).tolist(), False
         if strict:
             decode_image(p)  # raises NotImplementedError with the details
         return _fake_feature(p).tolist(), False

@@ -189,9 +189,10 @@ def dedup_pipeline(
     # truncation accounting (lsh.py's docstring promise: buckets the
     # candidate stage dropped/capped are accounted, never silent — reference
     # analogue code/dedup2.py:480-493) shares the bucket-counts pass with
-    # candidate generation: materializing the pairs caches the lazily
-    # checkpointed counts, and the stats job reuses them instead of
-    # re-scanning the signatures.
+    # candidate generation: candidate_pairs() eagerly materializes the
+    # counts (one small job at call time), and both the pairs plan and the
+    # stats job read the persisted counts instead of re-scanning the
+    # signatures.
     trunc_holder: dict = {}
 
     def _lsh_pairs():

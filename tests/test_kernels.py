@@ -180,6 +180,51 @@ def test_blocked_kernel_matches_python_across_block_boundaries():
         assert int(sims[i]) == simhash_py(r, 64), i
 
 
+def test_batched_shingle_kernel_matches_per_doc_multi_group():
+    """ADVICE r4: differential guard for the chunked batch kernel's
+    multi-group slicing path — docs totalling several group_bytes,
+    including one doc larger than a group, empty docs, and sub-k docs,
+    must be bit-identical to the per-doc kernel."""
+    import numpy as np
+
+    from genome_deduplication_spark.functions.shingles import (
+        poly_window_hashes_batched,
+        poly_window_hashes_np,
+    )
+
+    rng = random.Random(41)
+    group = 4096  # small group so a handful of docs spans many groups
+    sizes = [0, 3, 8, 700, group + 517, 1200, 0, 9, 2500, 3 * group + 11, 64]
+    docs = [bytes(rng.randrange(256) for _ in range(n)) for n in sizes]
+    widths = (9, 48)
+    got = poly_window_hashes_batched(docs, widths, group_bytes=group)
+    for k in widths:
+        assert len(got[k]) == len(docs)
+        for d, enc in enumerate(docs):
+            want = poly_window_hashes_np(np.frombuffer(enc, dtype=np.uint8), k)
+            assert np.array_equal(got[k][d], want), (k, d)
+
+
+def test_batched_shingle_kernel_duplicate_widths():
+    """ADVICE r4 (medium): widths=(k, k) is legal (anchor_width can equal
+    shingle_k) — the batch kernel must not double-append rows."""
+    import numpy as np
+
+    from genome_deduplication_spark.functions.shingles import (
+        poly_window_hashes_batched,
+        poly_window_hashes_np,
+    )
+
+    rng = random.Random(43)
+    docs = [bytes(rng.randrange(256) for _ in range(n))
+            for n in (100, 0, 57, 9, 300)]
+    got = poly_window_hashes_batched(docs, (9, 9), group_bytes=256)
+    assert len(got[9]) == len(docs)  # was 2x before the dedupe fix
+    for d, enc in enumerate(docs):
+        want = poly_window_hashes_np(np.frombuffer(enc, dtype=np.uint8), 9)
+        assert np.array_equal(got[9][d], want), d
+
+
 def test_lsh_threshold_curve_sane():
     cfg = DedupConfig()
     # at j = threshold the curve should be steep and high
