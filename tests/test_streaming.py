@@ -124,3 +124,62 @@ def test_streaming_batch_equivalence_sf001(spark, tmp_path):
         )
 
     assert exact_clusters(streamed) == exact_clusters(batch)
+
+
+def test_streaming_candidate_pairs_microbatch_sf001(spark, tmp_path):
+    """Micro-batch near-dup demo (VERDICT r4 #5): run lsh.candidate_pairs
+    over each availableNow signature snapshot as drops land. At every
+    snapshot the pair set must equal the batch pair set over the same docs
+    — completing the streaming interchangeability contract beyond stage 2:
+    per-doc work streamed, pair/CC stages batch over snapshots (reference
+    checkpoint-then-continue cadence, code/dedup2.py:546,553). Note pair
+    sets need not grow monotonically across drops: star edges re-anchor
+    when a new doc becomes a bucket's minimum member — which is exactly
+    why the contract is snapshot-equals-batch, not incremental patching."""
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):  # driver testdata
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    from genome_deduplication_spark.operators.lsh import candidate_pairs
+
+    pages = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id").cast("double"))
+            ).alias("warc_ts"),
+            "text",
+            "lang",
+        )
+    )
+    drop1 = pages.where(F.col("url").cast("long") % 2 == 0)
+    drop2 = pages.where(F.col("url").cast("long") % 2 == 1)
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def pair_set(sigs_df):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in candidate_pairs(sigs_df, CFG).collect()
+        }
+
+    snapshots = []
+    for drop in (drop1, drop2):
+        drop.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string, lang string"
+        ).parquet(src)
+        q = run_ingest(stream, CFG, out, ckpt, dedup_exact=False)
+        q.awaitTermination(300)
+        snapshots.append(pair_set(spark.read.parquet(out)))
+
+    # each snapshot's pairs == batch pairs over the same ingested docs
+    batch1 = pair_set(streaming_signatures(drop1, CFG))
+    batch_all = pair_set(streaming_signatures(pages, CFG))
+    assert snapshots[0] == batch1
+    assert snapshots[1] == batch_all
+    assert len(snapshots[1]) > 0  # the corpus plants near-dup structure
