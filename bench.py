@@ -197,6 +197,22 @@ def main() -> None:
         n = df.count()  # force full execution
         timings[name] = round(time.time() - t0, 3)
 
+    # Warm floors for the two pipeline-shaped queries (VERDICT r4 #1):
+    # their one-shot numbers swing 2-3x with host weather + cold Catalyst
+    # planning, so the comparable-across-rounds figure is the best-of-3
+    # warm rep in the same JVM (the reference's back-to-back differential
+    # standard, run_memory_comparison.sh:21-27). The one-shot stays in
+    # `queries` (it includes each round's real cold cost); the floor is
+    # the regression signal.
+    floors: dict[str, float] = {}
+    for name in ("substring_dup_clusters", "near_dup_clusters"):
+        best = timings[name]
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, round(time.time() - t0, 3))
+        floors[name] = best
+
     # flagship pipeline at bench scale (the throughput metric)
     pages = _build_bench_corpus(spark, n_docs)
     pages = pages.localCheckpoint(eager=True)  # exclude gen cost from timing
@@ -271,6 +287,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_floors": floors,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "pipeline_docs": n_pages,

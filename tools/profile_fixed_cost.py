@@ -131,7 +131,25 @@ def main() -> None:
         if not rj:
             continue
         span = (rj[-1]["end"] - rj[0]["start"]) / 1000.0
-        print(f"\n== {tag}: {len(rj)} jobs, span={span:.2f}s")
+        # driver-side fixed cost = span minus the union of job intervals
+        # (time with NO job running: Catalyst planning, py4j round-trips,
+        # checkpoint bookkeeping) — the Amdahl intercept the scaling
+        # campaigns measure
+        ivals = sorted((j["start"], j["end"]) for j in rj)
+        covered = 0
+        cur_s, cur_e = ivals[0]
+        for s, e in ivals[1:]:
+            if s > cur_e:
+                covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        gap = span - covered / 1000.0
+        print(
+            f"\n== {tag}: {len(rj)} jobs, span={span:.2f}s, "
+            f"in-job(union)={covered / 1000.0:.2f}s, driver-gap={gap:.2f}s"
+        )
         eids = sorted(
             {int(j["eid"]) for j in rj if j["eid"] is not None}
         )
