@@ -33,6 +33,10 @@ from pyspark.sql import types as T
 SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png")
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# decode-side guard for untrusted web payloads: reject header-declared
+# images beyond this many pixels before inflating anything (64 Mpx ~
+# 256 MB decoded RGBA — far above any training-data thumbnail)
+_MAX_PNG_PIXELS = 1 << 26
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -237,13 +241,27 @@ def _decode_png(payload: bytes) -> np.ndarray:
         )
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
+    if width == 0 or height == 0 or width * height > _MAX_PNG_PIXELS:
+        raise ValueError(
+            f"implausible PNG dimensions {width}x{height} "
+            f"(cap {_MAX_PNG_PIXELS} pixels)"
+        )
     ch = 3 if color_type == 2 else 4
+    stride = width * ch
+    expected = height * (stride + 1)
+    # Bound the inflate to the header-declared size: web payloads are
+    # untrusted, and an unbounded zlib.decompress would let a few-KB
+    # zip bomb allocate GBs inside an executor.
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = dec.decompress(b"".join(idat), expected)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
+    if (
+        len(raw) != expected
+        or dec.decompress(dec.unconsumed_tail, 1)
+        or dec.flush(1)
+    ):
         raise ValueError("PNG pixel data size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     pixels = _unfilter_png_rows(rows[:, 1:], rows[:, 0], ch)

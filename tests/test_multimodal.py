@@ -152,6 +152,37 @@ def test_decode_png_unsupported_variants():
         decode_image(b"\x89PNG\r\n\x1a\n....")  # signature only, no chunks
 
 
+def test_decode_png_bounded_inflate():
+    """Untrusted-payload guards: a zip-bomb-shaped IDAT (tiny compressed,
+    huge decompressed) and implausible header dimensions are both rejected
+    without allocating the decoded size."""
+    px = _test_pixels()
+    good = _png_bytes(px)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # IDAT inflates to far more than the declared 8x6 image needs
+    bomb = (
+        good[: 8 + 8 + 13 + 4]  # signature + IHDR chunk
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_image(bomb)
+    # header-declared dimensions beyond the pixel cap: rejected pre-inflate
+    huge_ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    huge = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_image(huge)
+
+
 def test_decode_unsupported_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0junk")  # JPEG: compressed codec, stubbed
