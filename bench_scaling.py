@@ -86,6 +86,50 @@ def hardware_compute_eff(low: int, high: int, secs: float = 8.0) -> dict:
     }
 
 
+TICKER_SNIPPET = r"""
+# single-core host-speed ticker: the campaign's weather instrument.
+# Round-5 finding: per-core host speed swings ~3x on minute timescales
+# (ceiling canaries 29535 -> 10267 iters/s twenty minutes apart), so a
+# 3-second bracketing probe cannot normalize a 15-minute rep. This loop
+# (same L2-resident blocked multiply-mod as the ceiling probe, one
+# thread, 1/32 of the box) appends "epoch iters_last_second" once per
+# second for the campaign's whole duration; each rep is normalized by
+# host speed integrated over ITS OWN window.
+import sys, time
+import numpy as np
+x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(2**31 - 1)
+prod = np.empty_like(x); buf = np.empty_like(x); tmp = np.empty_like(x)
+f = open(sys.argv[1], "a", buffering=1)
+while True:
+    n = 0; t0 = time.time()
+    while time.time() - t0 < 1.0:
+        np.multiply(x, np.uint64(1103515245), out=prod)
+        prod += np.uint64(12345)
+        np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
+        np.right_shift(prod, np.uint64(31), out=tmp)
+        buf += tmp
+        n += 1
+    f.write(f"{time.time():.1f} {n}\n")
+"""
+
+
+def ticker_mean(path: str, t0: float, t1: float) -> float | None:
+    """Mean ticker iters/s over [t0, t1] (None if no samples)."""
+    vals = []
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ts, n = line.split()
+                    if t0 <= float(ts) <= t1:
+                        vals.append(int(n))
+                except ValueError:
+                    continue
+    except OSError:
+        return None
+    return sum(vals) / len(vals) if vals else None
+
+
 RUN_SNIPPET = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
@@ -110,14 +154,28 @@ dedup_pipeline(warm, DedupConfig(), run_dir=None)["clusters"].count()
 
 pages = bench._build_bench_corpus(spark, n_docs).localCheckpoint(eager=True)
 n = pages.count()
+
+def proc_stat():
+    # machine-wide jiffies: user nice system idle iowait irq softirq steal.
+    # In this single-tenant sandbox the busy delta during a run is the
+    # job's own CPU; steal is the hypervisor taking the box away.
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:9]]
+    return {"busy": v[0] + v[1] + v[2] + v[5] + v[6], "steal": v[7]}
+
+HZ = os.sysconf("SC_CLK_TCK")
 results = []
 for rep in range(reps):
-    t0 = time.time()
+    s0 = proc_stat(); t0 = time.time()
     tables = dedup_pipeline(pages, DedupConfig(), run_dir=None)
     nc = tables["clusters"].count()
-    dt = time.time() - t0
+    t1 = time.time(); dt = t1 - t0; s1 = proc_stat()
+    busy = (s1["busy"] - s0["busy"]) / HZ
     results.append({"sec": round(dt, 3), "docs_per_sec": round(n / dt, 1),
-                    "clusters": nc})
+                    "clusters": nc, "cpu_busy_sec": round(busy, 1),
+                    "cpu_steal_sec": round((s1["steal"] - s0["steal"]) / HZ, 1),
+                    "eff_cores": round(busy / dt, 2),
+                    "t0": round(t0, 1), "t1": round(t1, 1)})
 print("RESULT " + json.dumps({"cpus": cpus, "docs": n, "runs": results}))
 spark.stop()
 """
@@ -157,20 +215,37 @@ def main() -> None:
     hw_pre = hardware_compute_eff(args.low, args.high)
     print(f"hardware ceiling (pre): {hw_pre}", flush=True)
 
+    ticker_path = f"/tmp/hostspeed_{int(time.time())}.log"
+    ticker = subprocess.Popen(
+        [sys.executable, "-c", TICKER_SNIPPET, ticker_path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
     sched: list[dict] = []
     t_start = time.time()
     for i, level in enumerate(args.order):
         cpus = args.low if level == "A" else args.high
+        # contemporaneous host-capacity canary: every slot gets its own
+        # ceiling probe so drift is measured per-slot, not just pre/post
+        slot_hw = hardware_compute_eff(args.low, args.high, secs=3.0)
         t0 = time.time()
         res = run_jvm(cpus, args.docs, args.reps_per_jvm, args.warm_docs)
         res["level"] = level
         res["slot"] = i
         res["wall_at"] = round(t0 - t_start, 1)
+        res["hw_probe"] = slot_hw
+        for r in res["runs"]:
+            if "t0" in r:
+                hs = ticker_mean(ticker_path, r["t0"], r["t1"])
+                r["hostspeed"] = round(hs, 1) if hs else None
         sched.append(res)
         best = max(r["docs_per_sec"] for r in res["runs"])
         print(f"slot {i} [{level}] local[{cpus}]: "
-              + ", ".join(f"{r['sec']}s" for r in res["runs"])
-              + f"  (best {best}/s)", flush=True)
+              + ", ".join(f"{r['sec']}s (eff_cores {r.get('eff_cores')}, "
+                          f"hostspeed {r.get('hostspeed')})"
+                          for r in res["runs"])
+              + f"  (best {best}/s, canary {slot_hw['high_iters_per_s']})",
+              flush=True)
 
     ratio = args.high / args.low
     a_thr = [max(r["docs_per_sec"] for r in s["runs"])
@@ -191,9 +266,66 @@ def main() -> None:
                  / max(r["docs_per_sec"] for r in a["runs"])) / ratio
             )
     eff_paired = statistics.median(pair_effs) if pair_effs else None
+    ticker.terminate()
     hw_post = hardware_compute_eff(args.low, args.high)
     print(f"hardware ceiling (post): {hw_post}", flush=True)
     hw_eff = min(hw_pre["hardware_compute_eff"], hw_post["hardware_compute_eff"])
+
+    # Stationarity: ratio of fastest to slowest per-slot canary. A campaign
+    # with ratio <= ~1.15 ran on a stationary host and its raw estimators
+    # are trustworthy; campaign 1 of round 5 (2.2x pre->post drift) is the
+    # failure mode this detects.
+    canaries = [s["hw_probe"]["high_iters_per_s"] for s in sched]
+    stationarity = round(max(canaries) / min(canaries), 3)
+
+    # Ceiling-normalized secondary estimator: divide each slot's best
+    # throughput by its own contemporaneous canary (aggregate iters/s at
+    # the high worker count), cancelling slot-scale host drift.
+    def norm_best(s):
+        return (max(r["docs_per_sec"] for r in s["runs"])
+                / s["hw_probe"]["high_iters_per_s"])
+
+    a_norm = [norm_best(s) for s in sched if s["level"] == "A"]
+    b_norm = [norm_best(s) for s in sched if s["level"] == "B"]
+    eff_minima_norm = round((max(b_norm) / max(a_norm)) / ratio, 3)
+    pair_effs_norm = []
+    for s1, s2 in zip(sched, sched[1:]):
+        if {s1["level"], s2["level"]} == {"A", "B"}:
+            a = s1 if s1["level"] == "A" else s2
+            b = s2 if s2["level"] == "B" else s1
+            pair_effs_norm.append(
+                round((norm_best(b) / norm_best(a)) / ratio, 3))
+    eff_paired_norm = (round(statistics.median(pair_effs_norm), 3)
+                       if pair_effs_norm else None)
+
+    # Primary weather correction: the continuous ticker. Each rep's
+    # throughput is divided by mean single-core host speed over the rep's
+    # own window (not a bracketing probe) — this integrates minute-scale
+    # frequency/contention drift that 3s canaries provably miss.
+    def tick_best(s):
+        vals = [r["docs_per_sec"] / r["hostspeed"] for r in s["runs"]
+                if r.get("hostspeed")]
+        return max(vals) if vals else None
+
+    a_tick = [v for s in sched if s["level"] == "A" if (v := tick_best(s))]
+    b_tick = [v for s in sched if s["level"] == "B" if (v := tick_best(s))]
+    eff_minima_tick = (round((max(b_tick) / max(a_tick)) / ratio, 3)
+                       if a_tick and b_tick else None)
+    pair_effs_tick = []
+    for s1, s2 in zip(sched, sched[1:]):
+        if {s1["level"], s2["level"]} == {"A", "B"}:
+            a = s1 if s1["level"] == "A" else s2
+            b = s2 if s2["level"] == "B" else s1
+            va, vb = tick_best(a), tick_best(b)
+            if va and vb:
+                pair_effs_tick.append(round((vb / va) / ratio, 3))
+    eff_paired_tick = (round(statistics.median(pair_effs_tick), 3)
+                       if pair_effs_tick else None)
+    hostspeeds = [r.get("hostspeed") for s in sched for r in s["runs"]]
+    tick_stationarity = (
+        round(max(h for h in hostspeeds if h) / min(h for h in hostspeeds if h), 3)
+        if any(hostspeeds) else None
+    )
 
     result = {
         "protocol": "interleaved",
@@ -209,6 +341,14 @@ def main() -> None:
             round(eff_paired, 3) if eff_paired is not None else None
         ),
         "pair_effs": [round(e, 3) for e in pair_effs],
+        "canary_stationarity_ratio": stationarity,
+        "scaling_efficiency_minima_ceiling_normalized": eff_minima_norm,
+        "scaling_efficiency_paired_median_ceiling_normalized": eff_paired_norm,
+        "pair_effs_ceiling_normalized": pair_effs_norm,
+        "hostspeed_stationarity_ratio": tick_stationarity,
+        "scaling_efficiency_minima_ticker_normalized": eff_minima_tick,
+        "scaling_efficiency_paired_median_ticker_normalized": eff_paired_tick,
+        "pair_effs_ticker_normalized": pair_effs_tick,
         "hardware_ceiling_pre": hw_pre,
         "hardware_ceiling_post": hw_post,
         "pipeline_eff_relative_to_hardware": round(
@@ -219,8 +359,8 @@ def main() -> None:
 
     def secs(level):
         return ", ".join(
-            f"{r['sec']}s" for s in sched if s["level"] == level
-            for r in s["runs"]
+            f"{r['sec']}s ({r.get('eff_cores', '?')} cores)"
+            for s in sched if s["level"] == level for r in s["runs"]
         )
 
     md = (
@@ -228,8 +368,10 @@ def main() -> None:
         f"Same corpus ({sched[0]['docs']} docs, deterministic seed), same "
         f"job, counterbalanced JVM order `{args.order}` "
         f"(A=local[{args.low}], B=local[{args.high}]), untimed warmup per "
-        "JVM, all in one session:\n\n"
-        "| level | measured runs | best docs/sec |\n|---|---|---|\n"
+        "JVM, every slot bracketed by its own hardware-ceiling canary, "
+        "all in one session:\n\n"
+        "| level | measured runs (machine-wide busy cores during run) | "
+        "best docs/sec |\n|---|---|---|\n"
         f"| local[{args.low}] | {secs('A')} | {max(a_thr)} |\n"
         f"| local[{args.high}] | {secs('B')} | {max(b_thr)} |\n\n"
         f"Scaling efficiency: per-level minima **{eff_minima:.3f}**, "
@@ -237,6 +379,18 @@ def main() -> None:
         f"(pairs: {[round(e, 3) for e in pair_effs]}) — "
         f"{'meets' if max(eff_minima, eff_paired or 0) >= 0.8 else 'below'} "
         "the >= 0.8 target.\n\n"
+        f"Host stationarity during the campaign: per-slot canaries "
+        f"{canaries} iters/s, max/min ratio **{stationarity}** "
+        f"(<=1.15 means the host held still and the raw numbers are "
+        "trustworthy). Ceiling-normalized estimators (each slot's "
+        "throughput divided by its contemporaneous canary): minima "
+        f"**{eff_minima_norm}**, paired median **{eff_paired_norm}** "
+        f"(pairs: {pair_effs_norm}).\n\n"
+        "Continuous single-core host-speed ticker (1 Hz, integrated over "
+        f"each rep's own window): per-rep host speeds {hostspeeds} "
+        f"iters/s, max/min **{tick_stationarity}**. Ticker-normalized "
+        f"efficiency: minima **{eff_minima_tick}**, paired median "
+        f"**{eff_paired_tick}** (pairs: {pair_effs_tick}).\n\n"
         "Hardware compute ceiling at the same levels (Spark-free blocked "
         f"uint64 multiply-mod, pre/post campaign): "
         f"{hw_pre['hardware_compute_eff']} / "

@@ -66,6 +66,19 @@ def dedup_pipeline(
     )
 
     resumed: set[str] = set()
+    sc = spark.sparkContext
+
+    def described(name: str, thunk):
+        # tag the jobs this stage materializes ("stage:<name>" in the Spark
+        # UI / event log) and restore the caller's description after —
+        # profilers aggregating SparkListenerJobStart get per-stage
+        # attribution instead of anonymous lambda callsites
+        prev = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(f"stage:{name}")
+        try:
+            return thunk()
+        finally:
+            sc.setJobDescription(prev)
 
     def stage(name: str, build, reused: bool = True):
         if ctx is None:
@@ -80,10 +93,14 @@ def dedup_pipeline(
             # adjacent pair (BENCH.md round 4). Single-consumer stages
             # (reused=False) stay unmaterialized so Catalyst fuses them.
             df = build()
-            return df.localCheckpoint(eager=True) if reused else df
+            if reused:
+                return described(
+                    name, lambda: df.localCheckpoint(eager=True)
+                )
+            return df
         if ctx.is_complete(name):
             resumed.add(name)
-        return ctx.stage(name, build)
+        return described(name, lambda: ctx.stage(name, build))
 
     def metrics(name: str, guard_stage: str | None = None, **kv):
         # kv values are thunks — only evaluated (each is a Spark job) when a

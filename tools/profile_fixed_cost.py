@@ -69,8 +69,21 @@ def main() -> None:
     time.sleep(1)
 
     # parse the event log: job timeline. Spark 4 writes a rolling DIRECTORY
-    # eventlog_v2_<app>/events_*.zstd — decompress via the zstd binary.
+    # eventlog_v2_<app>/events_*.zstd — decompress via the zstd binary when
+    # present, else pyarrow's bundled zstd codec.
+    import shutil
     import subprocess
+
+    def decompress_zstd(src: str, dst: str) -> None:
+        if shutil.which("unzstd"):
+            subprocess.run(["unzstd", "-f", src, "-o", dst],
+                           check=True, capture_output=True)
+            return
+        import pyarrow as pa
+
+        with pa.input_stream(src, compression="zstd") as ins, \
+                open(dst, "wb") as out:
+            shutil.copyfileobj(ins, out)
 
     ev_files = []
     for entry in os.listdir(evdir):
@@ -81,8 +94,7 @@ def main() -> None:
                     src = os.path.join(p, f)
                     if f.endswith(".zstd"):
                         dst = "/tmp/" + f.replace(".zstd", ".json")
-                        subprocess.run(["unzstd", "-f", src, "-o", dst],
-                                       check=True, capture_output=True)
+                        decompress_zstd(src, dst)
                         ev_files.append(dst)
                     else:
                         ev_files.append(src)
