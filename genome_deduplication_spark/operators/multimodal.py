@@ -4,12 +4,16 @@ Images/audio/video ride as `binary` columns with a metadata struct; the
 Spark-side plumbing (schemas, batching, partition sizing) is real and
 tested. The decode step has two tiers:
 
-* **Real stdlib-only decoders** for raster formats — binary PPM (P6),
-  24-bit uncompressed BMP, and non-interlaced 8-bit truecolor(+alpha) PNG
-  (``zlib`` inflate + per-row unfilter) — parsed with pure python + numpy
-  (no codec libraries needed), producing an (H, W, 3) uint8 pixel array and
-  a real pixel-derived feature (histogram + pooled-grid).
-* **Unsupported formats** (JPEG/audio/video — their codec libraries are
+* **Real stdlib-only decoders** — raster images: binary PPM (P6), 24-bit
+  uncompressed BMP, and non-interlaced 8-bit truecolor(+alpha) PNG
+  (``zlib`` inflate + per-row unfilter); audio: RIFF/WAVE PCM (8/16/24/32
+  bit int + 32/64-bit IEEE float, any channel count, downmixed to mono) —
+  parsed with pure python + numpy (no codec libraries needed), producing
+  real pixels / samples and a real content-derived feature (image:
+  histogram + pooled-grid; audio: spectral bands + RMS envelope + summary
+  stats), all encoding-independent (the same content in two encodings
+  yields the same feature).
+* **Unsupported formats** (JPEG/MP3/video — their codec libraries are
   not in this container): either a deterministic byte-derived fallback
   feature (default, keeps the dedup-by-feature path runnable end-to-end:
   identical payloads still produce identical features) or a
@@ -31,6 +35,7 @@ from pyspark.sql import types as T
 
 # formats the stdlib-only decoder handles for real
 SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png")
+SUPPORTED_AUDIO_FORMATS = ("wav",)
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # decode-side guard for untrusted web payloads: reject header-declared
@@ -310,6 +315,135 @@ def image_feature(pixels: np.ndarray) -> np.ndarray:
     return np.concatenate([hist, grid])
 
 
+def detect_audio_format(payload: bytes) -> str | None:
+    """Magic-byte sniff for audio: 'wav' (RIFF container with a WAVE form
+    type), else None. The 12-byte check (RIFF + declared size + WAVE) makes
+    random-binary false positives vanishingly unlikely."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# WAVE_FORMAT_EXTENSIBLE wraps the real format tag in a 16-byte subformat
+# GUID whose first two bytes are the classic tag (PCM=1, IEEE float=3)
+_WAVE_PCM, _WAVE_FLOAT, _WAVE_EXTENSIBLE = 1, 3, 0xFFFE
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (mono float32 samples in [-1, 1], sample_rate).
+
+    Pure struct chunk walk (fmt then data, word-aligned per the RIFF spec)
+    + numpy sample conversion: integer PCM at 8 (unsigned) / 16 / 32-bit
+    (signed LE) / 24-bit (3-byte stitch), and IEEE float at 32/64-bit;
+    WAVE_FORMAT_EXTENSIBLE unwrapped to its PCM/float subformat.
+    Multi-channel audio is downmixed by per-frame mean, so the same signal
+    encoded at different bit depths or channel layouts produces (nearly)
+    identical samples — the property :func:`audio_feature` relies on.
+    Raises NotImplementedError for compressed codecs (e.g. MP3/ADPCM
+    inside RIFF) and ValueError for corrupt/truncated containers."""
+    if detect_audio_format(payload) != "wav":
+        raise NotImplementedError(
+            "unsupported audio format (stdlib decoder handles "
+            f"{SUPPORTED_AUDIO_FORMATS}; compressed codecs absent in container)"
+        )
+    pos, n = 12, len(payload)
+    fmt: bytes | None = None
+    data: bytes | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _brate, _balign, bits = struct.unpack_from("<HHIIHH", fmt)
+    if tag == _WAVE_EXTENSIBLE:
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (tag,) = struct.unpack_from("<H", fmt, 24)  # subformat GUID head
+    if channels == 0 or rate == 0:
+        raise ValueError(f"implausible WAV fmt (channels={channels}, rate={rate})")
+    if tag == _WAVE_PCM and bits == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif tag == _WAVE_PCM and bits == 16:
+        x = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.float32) / 32768.0
+    elif tag == _WAVE_PCM and bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24 -> 32
+        x = v.astype(np.float32) / 8388608.0
+    elif tag == _WAVE_PCM and bits == 32:
+        x = np.frombuffer(data[: len(data) & ~3], "<i4").astype(np.float32) / 2147483648.0
+    elif tag == _WAVE_FLOAT and bits == 32:
+        x = np.frombuffer(data[: len(data) & ~3], "<f4").astype(np.float32)
+    elif tag == _WAVE_FLOAT and bits == 64:
+        x = np.frombuffer(data[: len(data) & ~7], "<f8").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV encoding (format_tag={tag}, bits={bits}); "
+            "compressed codecs (MP3/ADPCM) absent in container"
+        )
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x.astype(np.float32), int(rate)
+
+
+def audio_feature(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Real audio feature (_FEAT_DIM floats), encoding-independent: the
+    same signal stored as 16-bit PCM and 32-bit float WAV produces the
+    same feature to quantization tolerance.
+
+    Layout: [0:16] 16 geometric frequency-band log energies (rfft
+    magnitude, bands spanning DC..Nyquist, L2-normalized), [16:24] 8-bin
+    temporal RMS envelope (normalized by peak bin), [24:32] summary stats
+    (overall RMS, zero-crossing rate, peak |x|, mean, std, spectral
+    centroid as a fraction of Nyquist, log1p duration sec, log10 rate)."""
+    out = np.zeros(_FEAT_DIM, dtype=np.float32)
+    n = len(samples)
+    out[30] = np.log1p(np.float32(n / max(sample_rate, 1)))
+    out[31] = np.float32(np.log10(max(sample_rate, 1)))
+    if n == 0:
+        return out
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    # 16 geometric band edges over [1, len(mag)) — log-spaced like hearing
+    edges = np.unique(
+        np.geomspace(1, len(mag), num=17).astype(np.int64)
+    )
+    bands = np.zeros(16, dtype=np.float64)
+    for i in range(min(16, len(edges) - 1)):
+        bands[i] = np.log1p(mag[edges[i] : max(edges[i + 1], edges[i] + 1)].sum())
+    norm = np.linalg.norm(bands)
+    out[0:16] = (bands / norm if norm > 0 else bands).astype(np.float32)
+    idx = np.linspace(0, n, 9).astype(np.int64)
+    env = np.array(
+        [
+            np.sqrt(np.mean(np.square(samples[idx[i] : max(idx[i + 1], idx[i] + 1)],
+                                      dtype=np.float64)))
+            for i in range(8)
+        ]
+    )
+    peak_env = env.max()
+    out[16:24] = (env / peak_env if peak_env > 0 else env).astype(np.float32)
+    out[24] = np.sqrt(np.mean(np.square(samples, dtype=np.float64)))
+    out[25] = np.float32(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    out[26] = np.max(np.abs(samples))
+    out[27] = np.mean(samples, dtype=np.float64)
+    out[28] = np.std(samples, dtype=np.float64)
+    tot = mag.sum()
+    out[29] = np.float32(
+        (mag * np.arange(len(mag))).sum() / (tot * max(len(mag) - 1, 1))
+    ) if tot > 0 else np.float32(0.0)
+    return out
+
+
 def decode_and_featurize(
     media: DataFrame, batch_rows: int = 256, on_unsupported: str = "fallback"
 ) -> DataFrame:
@@ -317,9 +451,11 @@ def decode_and_featurize(
     decoded boolean).
 
     Payloads in SUPPORTED_IMAGE_FORMATS get a real decode + pixel feature
-    (decoded=true); others — including sniff false-positives whose decode
-    fails (truncated headers, unsupported sub-variants like 32-bpp BMP) —
-    get the deterministic byte-derived fallback feature (decoded=false).
+    and payloads in SUPPORTED_AUDIO_FORMATS a real decode + spectral
+    feature (decoded=true); others — including sniff false-positives whose
+    decode fails (truncated headers, unsupported sub-variants like 32-bpp
+    BMP or ADPCM-in-RIFF) — get the deterministic byte-derived fallback
+    feature (decoded=false).
     Under ``on_unsupported="raise"`` every non-decodable payload raises
     instead (NotImplementedError for unsupported codecs/sub-variants,
     ValueError for corrupt data).
@@ -352,6 +488,13 @@ def decode_and_featurize(
             # byte-derived feature, never kill the job.
             try:
                 return image_feature(decode_image(p)).tolist(), True
+            except (NotImplementedError, ValueError):
+                if strict:
+                    raise
+                return _fake_feature(p).tolist(), False
+        if detect_audio_format(p) is not None:
+            try:
+                return audio_feature(*decode_audio(p)).tolist(), True
             except (NotImplementedError, ValueError):
                 if strict:
                     raise

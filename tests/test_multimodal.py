@@ -8,12 +8,99 @@ import pytest
 
 from genome_deduplication_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    audio_feature,
     decode_and_featurize,
+    decode_audio,
     decode_image,
+    detect_audio_format,
     detect_image_format,
     image_feature,
     media_exact_dup_clusters,
 )
+
+
+def _wav_bytes(
+    samples: np.ndarray, rate: int, bits: int = 16, fmt: int = 1, channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM int (8/16/24/32) or IEEE float
+    (32/64), n-channel interleaved — exercises every decoder branch."""
+    frames = (
+        np.repeat(samples[:, None], channels, axis=1).reshape(-1)
+        if channels > 1
+        else samples
+    )
+    if fmt == 1 and bits == 8:
+        data = (np.clip(frames, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif fmt == 1 and bits == 16:
+        data = (np.clip(frames, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt == 1 and bits == 24:
+        v = (np.clip(frames, -1, 1) * 8388607).astype(np.int32)
+        b = np.zeros((len(v), 3), np.uint8)
+        b[:, 0], b[:, 1], b[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif fmt == 1 and bits == 32:
+        data = (np.clip(frames, -1, 1) * 2147483647).astype("<i4").tobytes()
+    elif fmt == 3 and bits == 32:
+        data = frames.astype("<f4").tobytes()
+    elif fmt == 3 and bits == 64:
+        data = frames.astype("<f8").tobytes()
+    else:
+        raise ValueError((fmt, bits))
+    ba = channels * bits // 8
+    fmtc = struct.pack("<HHIIHH", fmt, channels, rate, rate * ba, ba, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _test_signal() -> np.ndarray:
+    rng = np.random.default_rng(3)
+    t = np.arange(8000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(len(t))
+    return np.clip(sig, -0.99, 0.99).astype(np.float32)
+
+
+def test_decode_wav_all_encodings_same_feature():
+    """The same signal in six WAV encodings (8/16/24/32-bit PCM, 32/64-bit
+    float) and a stereo layout decodes to (nearly) identical samples and an
+    encoding-independent feature — the audio twin of the PPM==BMP==PNG
+    image-feature equality."""
+    sig = _test_signal()
+    ref_x, ref_rate = decode_audio(_wav_bytes(sig, 16000, 16, 1))
+    assert ref_rate == 16000 and len(ref_x) == len(sig)
+    ref = audio_feature(ref_x, ref_rate)
+    assert ref.shape == (32,)
+    for bits, fmt in [(8, 1), (24, 1), (32, 1), (32, 3), (64, 3)]:
+        w = _wav_bytes(sig, 16000, bits, fmt)
+        assert detect_audio_format(w) == "wav"
+        x, r = decode_audio(w)
+        tol = 0.05 if bits == 8 else 1e-3  # 8-bit quantization is coarse
+        assert np.abs(audio_feature(x, r) - ref).max() < tol, (bits, fmt)
+    stereo, _ = decode_audio(_wav_bytes(sig, 16000, 16, 1, channels=2))
+    assert np.abs(stereo - ref_x).max() < 1e-4
+
+
+def test_decode_wav_rejects_corrupt_and_compressed():
+    sig = _test_signal()
+    good = _wav_bytes(sig, 16000, 16, 1)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_audio(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_audio(good[:50])
+    adpcm = bytearray(good)
+    struct.pack_into("<H", adpcm, 20, 2)  # format_tag = ADPCM
+    with pytest.raises(NotImplementedError, match="format_tag=2"):
+        decode_audio(bytes(adpcm))
+    with pytest.raises(NotImplementedError, match="unsupported audio"):
+        decode_audio(b"\xff\xfbmp3 frame junk")
+    assert detect_audio_format(b"RIFFxxxxAVI ") is None  # RIFF but not WAVE
+    # empty data chunk: decodes to the zero-signal feature, not a crash
+    empty = _wav_bytes(sig[:0], 16000, 16, 1)
+    x, r = decode_audio(empty)
+    assert len(x) == 0 and audio_feature(x, r).shape == (32,)
 
 
 def _ppm_bytes(pixels: np.ndarray) -> bytes:
@@ -224,14 +311,22 @@ def test_sniff_false_positive_falls_back(spark):
 
 def test_featurize_real_decode_path(spark):
     px = _test_pixels()
+    sig = _test_signal()
     rows = [
         ("p1", "image", _ppm_bytes(px), (8, 6, None, None, "image/x-ppm")),
         ("b1", "image", _bmp_bytes(px), (8, 6, None, None, "image/bmp")),
         ("j1", "image", b"\xff\xd8\xff\xe0junk", (8, 6, None, None, "image/jpeg")),
+        ("w1", "audio", _wav_bytes(sig, 16000), (None, None, 16000, 500, "audio/wav")),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
     assert out["p1"]["decoded"] and out["b1"]["decoded"]
+    assert out["w1"]["decoded"]  # real WAV decode through the Spark path
+    assert np.allclose(
+        out["w1"]["feature"],
+        audio_feature(*decode_audio(_wav_bytes(sig, 16000))),
+        atol=1e-6,
+    )
     assert not out["j1"]["decoded"]  # fallback feature, flagged
     assert out["p1"]["feature"] == out["b1"]["feature"]  # format-independent
     strict = decode_and_featurize(df, on_unsupported="raise")
