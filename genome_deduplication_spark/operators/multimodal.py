@@ -7,7 +7,8 @@ tested. The decode step has two tiers:
 * **Real stdlib-only decoders** — raster images: binary PPM (P6), 24-bit
   uncompressed BMP, non-interlaced 8-bit truecolor(+alpha) PNG (``zlib``
   inflate + per-row unfilter), and baseline sequential JPEG (marker walk +
-  Huffman + IDCT, 4:4:4/4:2:0/grayscale — see jpeg.py); audio: RIFF/WAVE
+  Huffman + IDCT, 4:4:4/4:2:0/grayscale — see jpeg.py) and GIF87a/89a
+  (LZW + palette + interlace, first frame — see gif.py); audio: RIFF/WAVE
   PCM (8/16/24/32 bit int + 32/64-bit IEEE float, any channel count,
   downmixed to mono) —
   parsed with pure python + numpy (no codec libraries needed), producing
@@ -15,8 +16,8 @@ tested. The decode step has two tiers:
   histogram + pooled-grid; audio: spectral bands + RMS envelope + summary
   stats), all encoding-independent (the same content in two encodings
   yields the same feature).
-* **Unsupported formats** (progressive JPEG, GIF, MP3, video — their
-  codec libraries are not in this container): either a byte-derived fallback
+* **Unsupported formats** (progressive JPEG, TIFF/WebP, MP3, video —
+  their codec libraries are not in this container): a byte-derived fallback
   feature (default, keeps the dedup-by-feature path runnable end-to-end:
   identical payloads still produce identical features) or a
   ``NotImplementedError`` under ``on_unsupported="raise"`` — the package's
@@ -35,10 +36,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from genome_deduplication_spark.operators.gif import decode_gif
 from genome_deduplication_spark.operators.jpeg import decode_jpeg
 
 # formats the stdlib-only decoder handles for real
-SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png", "jpeg")
+SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png", "jpeg", "gif")
 SUPPORTED_AUDIO_FORMATS = ("wav",)
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -84,7 +86,8 @@ def _fake_feature(payload: bytes) -> np.ndarray:
 
 
 def detect_image_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: 'ppm' (binary P6), 'bmp', 'png', 'jpeg', else None.
+    """Magic-byte sniff: 'ppm' (binary P6), 'bmp', 'png', 'jpeg', 'gif',
+    else None.
 
     The BMP sniff goes beyond the 2-byte 'BM' prefix (which random binary
     payloads can start with): the 54-byte header must be present, the
@@ -103,6 +106,8 @@ def detect_image_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":  # SOI + first marker byte
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -284,9 +289,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode a supported raster payload to (H, W, 3) uint8 RGB.
 
     Real decode for SUPPORTED_IMAGE_FORMATS (stdlib + numpy only — PNG via
-    zlib inflate, baseline JPEG via the pure-numpy codec in jpeg.py);
-    NotImplementedError for every other format — remaining codecs
-    (progressive JPEG, GIF, ...) need libraries absent in this container."""
+    zlib inflate, baseline JPEG / GIF-LZW via the pure-numpy codecs in
+    jpeg.py / gif.py); NotImplementedError for every other format —
+    remaining codecs (progressive JPEG, TIFF, WebP, ...) need libraries
+    absent in this container."""
     fmt = detect_image_format(payload)
     if fmt == "ppm":
         return _decode_ppm(payload)
@@ -296,6 +302,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     raise NotImplementedError(
         "unsupported image format (stdlib decoder handles "
         f"{SUPPORTED_IMAGE_FORMATS}; compressed codecs absent in container)"

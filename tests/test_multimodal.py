@@ -6,6 +6,7 @@ import zlib
 import numpy as np
 import pytest
 
+from genome_deduplication_spark.operators.gif import encode_gif
 from genome_deduplication_spark.operators.jpeg import encode_jpeg
 from genome_deduplication_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -273,10 +274,12 @@ def test_decode_png_bounded_inflate():
 
 def test_decode_unsupported_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a" + b"\x00" * 32)  # GIF: LZW codec, stubbed
-    # truncated JPEG: sniffs as jpeg, fails decode with ValueError
+        decode_image(b"II*\x00" + b"\x00" * 32)  # TIFF: stubbed
+    # truncated JPEG/GIF: sniff as decodable formats, fail with ValueError
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 3)
 
 
 def _bad_bmp_32bpp(px: np.ndarray) -> bytes:
@@ -320,20 +323,23 @@ def test_featurize_real_decode_path(spark):
         ("p1", "image", _ppm_bytes(px), (8, 6, None, None, "image/x-ppm")),
         ("b1", "image", _bmp_bytes(px), (8, 6, None, None, "image/bmp")),
         ("j1", "image", encode_jpeg(px, 95), (8, 6, None, None, "image/jpeg")),
-        ("g1", "image", b"GIF89a" + b"\x00" * 32, (8, 6, None, None, "image/gif")),
+        ("g1", "image", encode_gif(px[:, :, :1] * np.ones(3, np.uint8)),
+         (8, 6, None, None, "image/gif")),
+        ("t1", "image", b"II*\x00" + b"\x00" * 32, (8, 6, None, None, "image/tiff")),
         ("w1", "audio", _wav_bytes(sig, 16000), (None, None, 16000, 500, "audio/wav")),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
     assert out["p1"]["decoded"] and out["b1"]["decoded"]
     assert out["j1"]["decoded"]  # real baseline-JPEG decode (lossy pixels)
+    assert out["g1"]["decoded"]  # real GIF-LZW decode (lossless palette)
     assert out["w1"]["decoded"]  # real WAV decode through the Spark path
     assert np.allclose(
         out["w1"]["feature"],
         audio_feature(*decode_audio(_wav_bytes(sig, 16000))),
         atol=1e-6,
     )
-    assert not out["g1"]["decoded"]  # fallback feature, flagged
+    assert not out["t1"]["decoded"]  # fallback feature, flagged
     assert out["p1"]["feature"] == out["b1"]["feature"]  # format-independent
     # lossy codec: feature is close to the lossless one, not identical
     assert np.abs(
