@@ -10,14 +10,15 @@ tested. The decode step has two tiers:
   Huffman + IDCT, 4:4:4/4:2:0/grayscale — see jpeg.py) and GIF87a/89a
   (LZW + palette + interlace, first frame — see gif.py); audio: RIFF/WAVE
   PCM (8/16/24/32 bit int + 32/64-bit IEEE float, any channel count,
-  downmixed to mono) —
+  downmixed to mono); video: MJPEG-in-AVI (RIFF walk + per-frame JPEG,
+  evenly sampled frames — see video.py) —
   parsed with pure python + numpy (no codec libraries needed), producing
   real pixels / samples and a real content-derived feature (image:
   histogram + pooled-grid; audio: spectral bands + RMS envelope + summary
   stats), all encoding-independent (the same content in two encodings
   yields the same feature).
-* **Unsupported formats** (progressive JPEG, TIFF/WebP, MP3, video —
-  their codec libraries are not in this container): a byte-derived fallback
+* **Unsupported formats** (progressive JPEG, TIFF/WebP, MP3, MP4/H.26x
+  — their codec libraries are not in this container): a byte-derived fallback
   feature (default, keeps the dedup-by-feature path runnable end-to-end:
   identical payloads still produce identical features) or a
   ``NotImplementedError`` under ``on_unsupported="raise"`` — the package's
@@ -38,10 +39,16 @@ from pyspark.sql import types as T
 
 from genome_deduplication_spark.operators.gif import decode_gif
 from genome_deduplication_spark.operators.jpeg import decode_jpeg
+from genome_deduplication_spark.operators.video import (
+    decode_video_frames,
+    detect_video_format,
+    video_feature,
+)
 
 # formats the stdlib-only decoder handles for real
 SUPPORTED_IMAGE_FORMATS = ("ppm", "bmp", "png", "jpeg", "gif")
 SUPPORTED_AUDIO_FORMATS = ("wav",)
+SUPPORTED_VIDEO_FORMATS = ("avi",)  # MJPEG frames via the jpeg.py codec
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # decode-side guard for untrusted web payloads: reject header-declared
@@ -467,9 +474,10 @@ def decode_and_featurize(
     """media table -> (media_id, kind, feature array<float>, n_bytes,
     decoded boolean).
 
-    Payloads in SUPPORTED_IMAGE_FORMATS get a real decode + pixel feature
-    and payloads in SUPPORTED_AUDIO_FORMATS a real decode + spectral
-    feature (decoded=true); others — including sniff false-positives whose
+    Payloads in SUPPORTED_IMAGE_FORMATS get a real decode + pixel feature,
+    SUPPORTED_AUDIO_FORMATS a real decode + spectral feature, and
+    SUPPORTED_VIDEO_FORMATS a sampled-frame decode + temporal feature
+    (decoded=true); others — including sniff false-positives whose
     decode fails (truncated headers, unsupported sub-variants like 32-bpp
     BMP or ADPCM-in-RIFF) — get the deterministic byte-derived fallback
     feature (decoded=false).
@@ -512,6 +520,13 @@ def decode_and_featurize(
         if detect_audio_format(p) is not None:
             try:
                 return audio_feature(*decode_audio(p)).tolist(), True
+            except (NotImplementedError, ValueError):
+                if strict:
+                    raise
+                return _fake_feature(p).tolist(), False
+        if detect_video_format(p) is not None:
+            try:
+                return video_feature(*decode_video_frames(p)).tolist(), True
             except (NotImplementedError, ValueError):
                 if strict:
                     raise

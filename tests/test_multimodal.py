@@ -8,6 +8,7 @@ import pytest
 
 from genome_deduplication_spark.operators.gif import encode_gif
 from genome_deduplication_spark.operators.jpeg import encode_jpeg
+from genome_deduplication_spark.operators.video import encode_avi_mjpeg
 from genome_deduplication_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     audio_feature,
@@ -327,6 +328,8 @@ def test_featurize_real_decode_path(spark):
          (8, 6, None, None, "image/gif")),
         ("t1", "image", b"II*\x00" + b"\x00" * 32, (8, 6, None, None, "image/tiff")),
         ("w1", "audio", _wav_bytes(sig, 16000), (None, None, 16000, 500, "audio/wav")),
+        ("v1", "video", encode_avi_mjpeg([encode_jpeg(px, 92)] * 3, 8, 6),
+         (8, 6, None, 300, "video/x-msvideo")),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
@@ -334,6 +337,7 @@ def test_featurize_real_decode_path(spark):
     assert out["j1"]["decoded"]  # real baseline-JPEG decode (lossy pixels)
     assert out["g1"]["decoded"]  # real GIF-LZW decode (lossless palette)
     assert out["w1"]["decoded"]  # real WAV decode through the Spark path
+    assert out["v1"]["decoded"]  # real MJPEG-AVI sampled-frame decode
     assert np.allclose(
         out["w1"]["feature"],
         audio_feature(*decode_audio(_wav_bytes(sig, 16000))),
