@@ -629,6 +629,117 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_fixture_rows() -> list:
+    """Deterministic media payloads covering every decode tier: five real
+    image codecs, WAV audio, MJPEG-AVI video, plus one fallback payload
+    per kind (TIFF image, MP3-ish audio, MP4-ish video). Byte-for-byte
+    reproducible (seeded numpy + deterministic encoders), so aggregate
+    counts/sizes are frozen constants the DuckDB oracle can state
+    literally (SQL cannot decode JPEG; the frozen table IS the oracle)."""
+    import numpy as np
+
+    from genome_deduplication_spark.operators.gif import encode_gif
+    from genome_deduplication_spark.operators.jpeg import encode_jpeg
+    from genome_deduplication_spark.operators.video import encode_avi_mjpeg
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    def bmp(px):
+        import struct as st
+
+        h, w, _ = px.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = b"".join(
+            px[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        off = 54
+        return (
+            b"BM" + st.pack("<IHHI", off + len(rows), 0, 0, off)
+            + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+            + rows
+        )
+
+    def png(px):
+        import struct as st
+        import zlib as zl
+
+        h, w, _ = px.shape
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(t, d):
+            return st.pack(">I", len(d)) + t + d + st.pack(">I", zl.crc32(t + d))
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zl.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def wav(sig):
+        import struct as st
+
+        data = (np.clip(sig, -1, 1) * 32767).astype("<i2").tobytes()
+        fmtc = st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        ch = (b"fmt " + st.pack("<I", len(fmtc)) + fmtc
+              + b"data" + st.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + st.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+
+    rng = np.random.default_rng(20260817)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.dstack(
+        [(xx * 8) % 256, (yy * 10) % 256, ((xx + yy) * 4) % 256]
+    ).astype(np.uint8)
+    pal = np.unique(rng.integers(0, 256, (12, 3), dtype=np.uint8), axis=0)
+    gif_img = pal[rng.integers(0, len(pal), (20, 30))]
+    t = np.arange(4000) / 16000.0
+    sig = np.clip(0.5 * np.sin(2 * np.pi * 440 * t), -0.99, 0.99)
+    frames = [
+        encode_jpeg(np.roll(img, 4 * i, axis=1), 92) for i in range(4)
+    ]
+    meta = (None, None, None, None, None)
+    return [
+        ("img-ppm", "image", ppm(img), meta),
+        ("img-bmp", "image", bmp(img), meta),
+        ("img-png", "image", png(img), meta),
+        ("img-jpg", "image", encode_jpeg(img, 92), meta),
+        ("img-gif", "image", encode_gif(gif_img), meta),
+        ("img-tif", "image", b"II*\x00" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)), meta),
+        ("aud-wav", "audio", wav(sig), meta),
+        ("aud-mp3", "audio", b"\xff\xfb" + bytes(rng.integers(0, 256, 96, dtype=np.uint8)), meta),
+        ("vid-avi", "video", encode_avi_mjpeg(frames, 32, 24, fps=8), meta),
+        ("vid-mp4", "video", b"\x00\x00\x00\x20ftypmp42" + bytes(rng.integers(0, 256, 128, dtype=np.uint8)), meta),
+    ]
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode tier end-to-end (operators/multimodal.py +
+    jpeg/gif/video codecs): a deterministic 10-payload media table spanning
+    all three modalities runs through decode_and_featurize, aggregated to
+    per-(kind, decoded) counts and byte totals. The media table is
+    synthesized (the driver's testdata has no binary-media table) and
+    byte-reproducible, so the oracle is the frozen literal aggregate."""
+    from genome_deduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+    )
+
+    media = spark.createDataFrame(_media_fixture_rows(), MEDIA_SCHEMA)
+    feats = decode_and_featurize(media)
+    return (
+        feats.groupBy("kind", "decoded")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("kind", "decoded")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -652,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "substring_dup_clusters": q_substring_dup_clusters,
         "near_dup_clusters": q_near_dup_clusters,
+        "media_decode_stats": q_media_decode_stats,
     }
 
 
@@ -1092,6 +1204,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CAST(dst AS VARCHAR)) AS BIGINT) AS cluster_id,
                    count(DISTINCT dst) AS cluster_size
             FROM reach GROUP BY src
+        """,
+        # The media table is synthesized byte-reproducibly inside the query
+        # (testdata ships no binary-media table) and SQL has no image/audio
+        # codecs, so the oracle is the frozen expected aggregate of the
+        # deterministic fixture — a literal table, pinning decode outcomes
+        # and exact payload byte totals across all three modalities.
+        "media_decode_stats": """
+            SELECT kind, decoded, n_media, total_bytes
+            FROM (VALUES
+              ('audio', false, CAST(1 AS BIGINT), CAST(98 AS BIGINT)),
+              ('audio', true,  CAST(1 AS BIGINT), CAST(8044 AS BIGINT)),
+              ('image', false, CAST(1 AS BIGINT), CAST(68 AS BIGINT)),
+              ('image', true,  CAST(5 AS BIGINT), CAST(7836 AS BIGINT)),
+              ('video', false, CAST(1 AS BIGINT), CAST(140 AS BIGINT)),
+              ('video', true,  CAST(1 AS BIGINT), CAST(3760 AS BIGINT))
+            ) t(kind, decoded, n_media, total_bytes)
+            ORDER BY kind, decoded
         """,
     }
 
