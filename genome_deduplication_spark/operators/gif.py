@@ -28,7 +28,16 @@ _MAX_GIF_PIXELS = 1 << 26  # same untrusted-payload cap as PNG/JPEG
 def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF -> (H, W, 3) uint8 RGB. ValueError on corrupt
     or truncated data; NotImplementedError never — every GIF variant is
-    either decodable or malformed (LZW is the only codec GIF has)."""
+    either decodable or malformed (LZW is the only codec GIF has).
+    Low-level slips on adversarial bytes (struct.error, IndexError) are
+    normalized to ValueError, matching the fallback tier's catch."""
+    try:
+        return _decode_gif_checked(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF structure: {type(e).__name__} {e}") from e
+
+
+def _decode_gif_checked(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (missing header)")
     if len(payload) < 13:

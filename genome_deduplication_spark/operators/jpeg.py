@@ -191,7 +191,20 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG -> (H, W, 3) uint8 RGB (grayscale JPEGs
     are replicated across channels). See module docstring for scope;
-    unsupported modes raise NotImplementedError, corrupt data ValueError."""
+    unsupported modes raise NotImplementedError, corrupt data ValueError.
+
+    Adversarial-bytes contract: the parser indexes into attacker-shaped
+    structures (segment offsets, table ids, component maps), so any
+    low-level slip on malformed input (struct.error, IndexError,
+    KeyError) is normalized to ValueError here — the multimodal fallback
+    tier catches exactly (NotImplementedError, ValueError)."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG structure: {type(e).__name__} {e}") from e
+
+
+def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

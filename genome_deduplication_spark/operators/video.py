@@ -41,7 +41,16 @@ def parse_avi(payload: bytes) -> dict:
 
     Walks RIFF LIST trees for the 'hdrl' (avih) and 'movi' (frame data)
     lists; frame chunks are any '##dc'/'##db' (compressed / DIB) entries
-    in stream order. ValueError on corrupt/truncated structure."""
+    in stream order. ValueError on corrupt/truncated structure — including
+    adversarial deeply-nested LIST chains, whose RecursionError is
+    normalized to ValueError so the fallback tier's catch holds."""
+    try:
+        return _parse_avi_checked(payload)
+    except (struct.error, IndexError, RecursionError) as e:
+        raise ValueError(f"corrupt AVI structure: {type(e).__name__} {e}") from e
+
+
+def _parse_avi_checked(payload: bytes) -> dict:
     if detect_video_format(payload) != "avi":
         raise NotImplementedError(
             "unsupported video container (stdlib decoder handles MJPEG-in-AVI)"

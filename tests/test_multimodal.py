@@ -359,3 +359,52 @@ def test_media_exact_dup(spark):
     out = {r["media_id"]: r["cluster_id"] for r in media_exact_dup_clusters(df).collect()}
     assert out["m1"] == out["m2"] == "m1"
     assert out["m3"] == "m3"
+
+
+def test_decoders_never_leak_low_level_errors():
+    """Untrusted-payload contract: for ANY bytes, every decoder either
+    succeeds or raises ValueError/NotImplementedError — never IndexError/
+    struct.error/KeyError/RecursionError, which would escape the fallback
+    tier's catch and kill a Spark job. Seeded fuzz: random bytes behind
+    each format's magic prefix, plus truncations and single-byte
+    mutations of valid payloads."""
+    from genome_deduplication_spark.operators.video import parse_avi
+
+    rng = np.random.default_rng(99)
+    px = _test_pixels()
+    sig = _test_signal()
+    valid = [
+        _ppm_bytes(px), _bmp_bytes(px), _png_bytes(px),
+        encode_jpeg(px, 90), encode_gif(px[:, :, :1] * np.ones(3, np.uint8)),
+        _wav_bytes(sig, 16000),
+        encode_avi_mjpeg([encode_jpeg(px, 90)] * 2, 8, 6),
+    ]
+    magics = [
+        b"P6 ", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+        b"GIF87a", b"RIFF\x00\x01\x00\x00WAVE", b"RIFF\x00\x01\x00\x00AVI ",
+    ]
+    cases: list[bytes] = []
+    for m in magics:
+        for ln in (0, 4, 40, 400):
+            cases.append(m + bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+    for v in valid:
+        for cut in (7, len(v) // 3, len(v) - 3):
+            cases.append(v[:cut])
+        for _ in range(20):
+            mut = bytearray(v)
+            i = int(rng.integers(0, len(v)))
+            mut[i] = int(rng.integers(0, 256))
+            cases.append(bytes(mut))
+    # adversarial deeply-nested AVI LIST chain (recursion guard)
+    deep = b"LIST" * 1  # built below: each level declares a huge size
+    body = b"movi"
+    for _ in range(3000):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"rec " + body
+    cases.append(b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body)
+
+    for payload in cases:
+        for fn in (decode_image, decode_audio, parse_avi):
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
