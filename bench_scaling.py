@@ -86,6 +86,50 @@ def hardware_compute_eff(low: int, high: int, secs: float = 8.0) -> dict:
     }
 
 
+def hardware_bandwidth_eff(low: int, high: int, secs: float = 8.0,
+                           mb_per_worker: int = 96) -> dict:
+    """DRAM-bandwidth twin of :func:`hardware_compute_eff`: each worker
+    streams through its own ``mb_per_worker``-MB array (far beyond L2/L3
+    share), so aggregate throughput measures the box's *memory* scaling
+    from ``low`` to ``high`` workers. The compute ceiling is L2-resident
+    and blind to bandwidth caps; when a degraded host (or hypervisor cap)
+    limits aggregate DRAM traffic, shuffle/scan-heavy pipeline stages at
+    the high level are bounded by THIS number, not the compute one."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream(q):
+        a = np.arange(mb_per_worker * 131072, dtype=np.float64)  # 8B each
+        out_buf = np.empty_like(a)
+        np.add(a, 1.0, out=out_buf)  # untimed warmup: fault in all pages
+        np.add(a, 1.0, out=out_buf)
+        n = 0
+        s = 0.0
+        t0 = time.time()
+        while time.time() - t0 < secs:
+            np.add(a, 1.0, out=out_buf)  # read + write the full array
+            s = float(out_buf[::65536].sum())  # touch, defeat elision
+            n += 1
+        q.put((n, s))
+
+    res = {}
+    for workers in (low, high):
+        q = mp.Queue()
+        ps = [mp.Process(target=stream, args=(q,)) for _ in range(workers)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        total = sum(q.get()[0] for _ in ps)
+        # each iteration reads+writes mb_per_worker MB twice over
+        res[workers] = total * mb_per_worker * 2 / secs  # MB/s aggregate
+    eff = (res[high] / res[low]) / (high / low)
+    return {
+        "low_mb_per_s": round(res[low]),
+        "high_mb_per_s": round(res[high]),
+        "hardware_bandwidth_eff": round(eff, 3),
+    }
+
+
 TICKER_SNIPPET = r"""
 # single-core host-speed ticker: the campaign's weather instrument.
 # Round-5 finding: per-core host speed swings ~3x on minute timescales
