@@ -740,6 +740,20 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate phrase removal [LLM-pipeline cleaning
+    tier; reference analogue: masking of previously-seen k-mer regions,
+    code/dedup2.py:206-246, applied corpus-wide]: word 8-grams shared by
+    >= 2 distinct documents are boilerplate; covered tokens are removed
+    from the normalized text (operators/boilerplate.py)."""
+    from genome_deduplication_spark.operators.boilerplate import (
+        remove_boilerplate_phrases,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_boilerplate_phrases(docs, n=8, min_df=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -764,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_clusters": q_substring_dup_clusters,
         "near_dup_clusters": q_near_dup_clusters,
         "media_decode_stats": q_media_decode_stats,
+        "boilerplate_cleaned": q_boilerplate_cleaned,
     }
 
 
@@ -1221,6 +1236,48 @@ def oracle_sql() -> dict[str, str]:
               ('video', true,  CAST(1 AS BIGINT), CAST(3760 AS BIGINT))
             ) t(kind, decoded, n_media, total_bytes)
             ORDER BY kind, decoded
+        """,
+        # word 8-grams shared by >= 2 distinct docs; covered-token union
+        # removed from the normalized text (operators/boilerplate.py twin)
+        "boilerplate_cleaned": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(s, ' ')) AS tok,
+                     generate_subscripts(string_split(s, ' '), 1) AS ord
+              FROM nrm
+            ),
+            wins AS (
+              SELECT t.doc_id, t.ord AS start,
+                     string_agg(t2.tok, ' ' ORDER BY t2.ord) AS phrase
+              FROM toks t
+              JOIN toks t2 ON t2.doc_id = t.doc_id
+                          AND t2.ord BETWEEN t.ord AND t.ord + 7
+              GROUP BY t.doc_id, t.ord HAVING count(*) = 8
+            ),
+            boiler AS (
+              SELECT phrase FROM wins
+              GROUP BY phrase HAVING count(DISTINCT doc_id) >= 2
+            ),
+            bwins AS (SELECT w.doc_id, w.start FROM wins w JOIN boiler b USING (phrase)),
+            keep AS (
+              SELECT t.doc_id, t.ord, t.tok FROM toks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bwins w
+                WHERE w.doc_id = t.doc_id AND t.ord BETWEEN w.start AND w.start + 7
+              )
+            ),
+            kept AS (
+              SELECT doc_id, count(*) AS n_keep,
+                     string_agg(tok, ' ' ORDER BY ord) AS cleaned_text
+              FROM keep GROUP BY doc_id
+            ),
+            nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+            SELECT nt.doc_id,
+                   nt.n_tokens,
+                   nt.n_tokens - coalesce(kept.n_keep, 0) AS n_boiler_tokens,
+                   coalesce(kept.cleaned_text, '') AS cleaned_text
+            FROM nt LEFT JOIN kept USING (doc_id)
         """,
     }
 

@@ -186,6 +186,7 @@ def main() -> None:
         "shingle_histogram",
         "merged_ship_intervals",
         "token_quality",
+        "boilerplate_cleaned",
         "embedding_cosine_topk",
         "substring_dup_clusters",
         "near_dup_clusters",
