@@ -96,6 +96,16 @@ def main() -> None:
         if speed < args.quiet:
             time.sleep(args.poll_secs)
             continue
+        # campaign 3 launched on a single quiet reading and the window
+        # closed within minutes — demand a CONFIRMED window: a second
+        # probe 20s later must also clear the gate before burning ~20 min
+        time.sleep(20)
+        speed2 = probe_speed()
+        print(f"[{time.strftime('%H:%M:%S')}] confirm probe {speed2:.0f} "
+              f"iters/s", flush=True)
+        if speed2 < args.quiet:
+            time.sleep(args.poll_secs)
+            continue
 
         order = ("A", "B") if n_attempt % 2 == 0 else ("B", "A")
         n_attempt += 1
