@@ -87,6 +87,7 @@ def remove_boilerplate_phrases(
     text_col: str = "text",
     n: int = 8,
     min_df: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Per input document: (id, n_tokens, n_boiler_tokens, cleaned_text).
 
@@ -101,6 +102,13 @@ def remove_boilerplate_phrases(
         id_col,
         F.posexplode(_window_hashes(F.col("_bp_toks"), n)).alias("_s0", "phrase_hash"),
     ).select(id_col, (F.col("_s0") + 1).alias("start"), "phrase_hash")
+    if persist:
+        # wins feeds BOTH the df aggregate and the starts join; without
+        # materialization the scan+split+window+xxhash stage runs twice
+        # (observed: 3 parquet scans in the unpersisted plan). Eager — a
+        # lazy localCheckpoint mark is not persisted under AQE (PLANS.md
+        # round 4). Fixed-width rows (id, int, bigint), cheap to hold.
+        wins = wins.localCheckpoint(eager=True)
 
     boiler = (
         wins.groupBy("phrase_hash")
