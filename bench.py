@@ -155,10 +155,39 @@ def _build_bench_corpus(spark, n_docs: int):
     return spark.read.parquet(cache).repartition(par, "url")
 
 
+def _host_probe(secs: float = 5.0) -> float:
+    """Single-core host-speed probe (iters/s) — the same blocked uint64
+    multiply-mod loop as tools/quiet_pairs.probe_speed. This VM alternates
+    between quiet (~25-32k iters/s) and degraded (~10-16k, hypervisor
+    steal) phases on 10-25 min timescales (BENCH.md round 5); embedding
+    the probe makes every bench JSON carry its own weather context so
+    cross-round comparisons can be normalized instead of argued."""
+    import numpy as np
+
+    x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(
+        2**31 - 1
+    )
+    prod = np.empty_like(x)
+    buf = np.empty_like(x)
+    tmp = np.empty_like(x)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        np.multiply(x, np.uint64(1103515245), out=prod)
+        prod += np.uint64(12345)
+        np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
+        np.right_shift(prod, np.uint64(31), out=tmp)
+        buf += tmp
+        n += 1
+    return round(n / secs, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "40000"))
+
+    hostspeed_pre = _host_probe()
 
     import __spark_entry__ as entrymod
     from genome_deduplication_spark.config import DedupConfig
@@ -297,6 +326,9 @@ def main() -> None:
                 "lsh_bucket_skew": skew,
                 "span_kind_bytes": span_bytes,
                 "span_tiling_ok": tiling_ok,
+                "hostspeed_pre": hostspeed_pre,
+                "hostspeed_post": _host_probe(),
+                "hostspeed_quiet_baseline": [25000, 32000],
             }
         )
     )
