@@ -754,6 +754,21 @@ def q_boilerplate_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_phrases(docs, n=8, min_df=2)
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination [LLM-pipeline hygiene pass; GPT-3 13-gram
+    convention; reference analogue: k-mer membership in the seen set,
+    code/dedup2.py:418-443]: docs sharing any word 13-gram with the
+    benchmark subset (doc_id % 50 == 0) are flagged
+    (operators/decontaminate.py)."""
+    from genome_deduplication_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    return flag_contaminated(docs, benchmark, n=13)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -779,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "media_decode_stats": q_media_decode_stats,
         "boilerplate_cleaned": q_boilerplate_cleaned,
+        "decontamination": q_decontamination,
     }
 
 
@@ -1278,6 +1294,37 @@ def oracle_sql() -> dict[str, str]:
                    nt.n_tokens - coalesce(kept.n_keep, 0) AS n_boiler_tokens,
                    coalesce(kept.cleaned_text, '') AS cleaned_text
             FROM nt LEFT JOIN kept USING (doc_id)
+        """,
+        # 13-gram overlap with the benchmark subset (doc_id % 50 == 0);
+        # benchmark docs report clean (self-overlap is not contamination)
+        "decontamination": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(s, ' ')) AS tok,
+                     generate_subscripts(string_split(s, ' '), 1) AS ord
+              FROM nrm
+            ),
+            wins AS (
+              SELECT t.doc_id, string_agg(t2.tok, ' ' ORDER BY t2.ord) AS phrase
+              FROM toks t
+              JOIN toks t2 ON t2.doc_id = t.doc_id
+                          AND t2.ord BETWEEN t.ord AND t.ord + 12
+              GROUP BY t.doc_id, t.ord HAVING count(*) = 13
+            ),
+            bench AS (SELECT DISTINCT phrase FROM wins WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT w.doc_id, count(*) AS n
+              FROM wins w JOIN bench b USING (phrase)
+              WHERE w.doc_id % 50 <> 0 GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   d.doc_id % 50 = 0 AS is_benchmark,
+                   CASE WHEN d.doc_id % 50 = 0 THEN 0
+                        ELSE coalesce(h.n, 0) END AS n_shared_ngrams,
+                   (CASE WHEN d.doc_id % 50 = 0 THEN 0
+                         ELSE coalesce(h.n, 0) END) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }
 

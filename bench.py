@@ -216,6 +216,7 @@ def main() -> None:
         "merged_ship_intervals",
         "token_quality",
         "boilerplate_cleaned",
+        "decontamination",
         "embedding_cosine_topk",
         "substring_dup_clusters",
         "near_dup_clusters",

@@ -34,21 +34,24 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text
 
-__all__ = ["boilerplate_phrases", "remove_boilerplate_phrases"]
+__all__ = [
+    "boilerplate_phrases",
+    "remove_boilerplate_phrases",
+    "word_window_hashes",
+]
 
 
-def _window_hashes(toks: Column, n: int) -> Column:
-    """Array of xxhash64(n-gram phrase) for every window start (1-based
-    start s covers tokens s..s+n-1). Empty array when the doc is shorter
-    than n tokens — F.sequence(1, 0) DESCENDS in Spark, so the short case
-    must be guarded, not relied on to be empty."""
+def word_window_hashes(toks_col: str, n: int) -> Column:
+    """Array of xxhash64(n-gram phrase) over the named array<string>
+    column, one per window start (1-based start s covers tokens
+    s..s+n-1). Empty array when the doc is shorter than n tokens —
+    F.sequence(1, 0) DESCENDS in Spark, so the short case must be
+    guarded, not relied on to be empty."""
     return F.when(
-        F.size(toks) >= n,
+        F.size(F.col(toks_col)) >= n,
         F.expr(
-            f"transform(sequence(1, size(__toks__) - {n} + 1), "
-            f"s -> xxhash64(concat_ws(' ', slice(__toks__, s, {n}))))".replace(
-                "__toks__", "_bp_toks"
-            )
+            f"transform(sequence(1, size({toks_col}) - {n} + 1), "
+            f"s -> xxhash64(concat_ws(' ', slice({toks_col}, s, {n}))))"
         ),
     ).otherwise(F.expr("cast(array() as array<bigint>)"))
 
@@ -71,7 +74,7 @@ def boilerplate_phrases(
     distinct documents, by document frequency."""
     base = _tokenized(docs, id_col, text_col)
     wins = base.select(
-        id_col, F.explode(_window_hashes(F.col("_bp_toks"), n)).alias("phrase_hash")
+        id_col, F.explode(word_window_hashes("_bp_toks", n)).alias("phrase_hash")
     )
     return (
         wins.groupBy("phrase_hash")
@@ -100,7 +103,7 @@ def remove_boilerplate_phrases(
     base = _tokenized(docs, id_col, text_col)
     wins = base.select(
         id_col,
-        F.posexplode(_window_hashes(F.col("_bp_toks"), n)).alias("_s0", "phrase_hash"),
+        F.posexplode(word_window_hashes("_bp_toks", n)).alias("_s0", "phrase_hash"),
     ).select(id_col, (F.col("_s0") + 1).alias("start"), "phrase_hash")
     if persist:
         # wins feeds BOTH the df aggregate and the starts join; without
