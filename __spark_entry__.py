@@ -769,6 +769,81 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(docs, benchmark, n=13)
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter [quality tier; reference analogue:
+    internal-repeat discrimination D2, code/dedup2.py:273-296 — there a
+    doc whose duplicate k-mers are self-repeats is retained, here a doc
+    whose text is dominated by one repeated phrase is flagged]: chars
+    covered by the most frequent word 2/3/4-gram, computed row-local with
+    zero shuffle (functions/text.top_gram_run_chars), with the Gopher
+    A1 thresholds (0.20/0.18/0.16) as integer cross-multiplications."""
+    from genome_deduplication_spark.functions.text import top_gram_run_chars
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("_s"),
+    ).select("doc_id", "_s", F.split(F.col("_s"), " ").alias("_toks"))
+    n_chars = F.length("_s")
+    t2, t3, t4 = (top_gram_run_chars("_toks", k) for k in (2, 3, 4))
+    return base.select(
+        "doc_id",
+        F.size("_toks").alias("n_words"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct_words"),
+        n_chars.alias("n_chars_norm"),
+        t2.alias("top2_chars"),
+        t3.alias("top3_chars"),
+        t4.alias("top4_chars"),
+        (
+            (t2 * 100 > n_chars * 20)
+            | (t3 * 100 > n_chars * 18)
+            | (t4 * 100 > n_chars * 16)
+        ).alias("repetition_flagged"),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction [pre-release hygiene tier; reference analogue:
+    in-place masking of flagged subsequences, code/dedup2.py:497-520]:
+    deterministic synthetic PII (email/IPv4/phone keyed on doc_id — the
+    corpus itself is PII-free word salad) is planted, then counted and
+    placeholder-redacted (operators/pii.py). The oracle plants and
+    redacts with the identical RE2-safe patterns."""
+    from genome_deduplication_spark.operators.pii import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = F.concat(
+        t,
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit(" contact agent"),
+                i.cast("string"),
+                F.lit("@mail.example.com for details"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0,
+            F.concat(
+                F.lit(" served from 10."),
+                (i % 200).cast("string"),
+                F.lit(".0."),
+                (i % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 13 == 0,
+            F.concat(
+                F.lit(" call +1 555 0"),
+                F.lpad((i % 100).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.select("doc_id", planted.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -795,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": q_media_decode_stats,
         "boilerplate_cleaned": q_boilerplate_cleaned,
         "decontamination": q_decontamination,
+        "repetition_metrics": q_repetition_metrics,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1325,6 +1402,96 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN d.doc_id % 50 = 0 THEN 0
                          ELSE coalesce(h.n, 0) END) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # most-frequent word k-gram per doc via the window-join CTE; ties
+        # break (n DESC, phrase ASC) = Spark's sorted-scan strictly-greater
+        "repetition_metrics": f"""
+            WITH nrm AS (
+              SELECT doc_id,
+                     {_NORM_DUCK.format(c="coalesce(text, '')")} AS s
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(s, ' ')) AS tok,
+                     generate_subscripts(string_split(s, ' '), 1) AS ord
+              FROM nrm
+            ),
+            gram AS (
+              SELECT ks.k, t.doc_id, t.ord,
+                     string_agg(t2.tok, ' ' ORDER BY t2.ord) AS phrase
+              FROM (VALUES (2), (3), (4)) ks(k)
+              CROSS JOIN toks t
+              JOIN toks t2 ON t2.doc_id = t.doc_id
+                          AND t2.ord BETWEEN t.ord AND t.ord + ks.k - 1
+              GROUP BY ks.k, t.doc_id, t.ord HAVING count(*) = ks.k
+            ),
+            cnt AS (
+              SELECT k, doc_id, phrase, count(*) AS n
+              FROM gram GROUP BY 1, 2, 3
+            ),
+            top AS (
+              SELECT k, doc_id, n * length(phrase) AS chars
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY k, doc_id
+                      ORDER BY n DESC, phrase ASC) AS rn FROM cnt)
+              WHERE rn = 1
+            ),
+            base AS (
+              SELECT doc_id, length(s) AS n_chars_norm,
+                     len(string_split(s, ' ')) AS n_words,
+                     len(list_distinct(string_split(s, ' '))) AS n_distinct_words
+              FROM nrm
+            )
+            SELECT b.doc_id, b.n_words, b.n_distinct_words, b.n_chars_norm,
+                   coalesce(t2.chars, 0) AS top2_chars,
+                   coalesce(t3.chars, 0) AS top3_chars,
+                   coalesce(t4.chars, 0) AS top4_chars,
+                   (coalesce(t2.chars, 0) * 100 > b.n_chars_norm * 20
+                    OR coalesce(t3.chars, 0) * 100 > b.n_chars_norm * 18
+                    OR coalesce(t4.chars, 0) * 100 > b.n_chars_norm * 16)
+                     AS repetition_flagged
+            FROM base b
+            LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.k = 2
+            LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.k = 3
+            LEFT JOIN top t4 ON t4.doc_id = b.doc_id AND t4.k = 4
+        """,
+        # identical planted PII + identical RE2-safe patterns + identical
+        # replacement order (email -> ipv4 -> phone)
+        "pii_redaction": """
+            WITH planted AS (
+              SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com for details' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                     THEN ' served from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1 555 0'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                     ELSE '' END
+                AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                AS n_emails,
+              len(regexp_extract_all(text,
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4s,
+              len(regexp_extract_all(text,
+                  '\\+\\d{1,3} \\d{3} \\d{3,4}')) AS n_phones,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                      '<EMAIL>', 'g'),
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                '\\+\\d{1,3} \\d{3} \\d{3,4}', '<PHONE>', 'g')
+                AS redacted_text
+            FROM planted
         """,
     }
 

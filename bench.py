@@ -215,6 +215,7 @@ def main() -> None:
         "shingle_histogram",
         "merged_ship_intervals",
         "token_quality",
+        "repetition_metrics",
         "boilerplate_cleaned",
         "decontamination",
         "embedding_cosine_topk",

@@ -120,3 +120,45 @@ def lang_id(col: Column) -> Column:
         scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- repetition metrics (Gopher-style quality filter) -----------------------
+
+
+def top_gram_run_chars(toks_col: str, k: int) -> Column:
+    """Characters covered by the most frequent word ``k``-gram: count ×
+    length of the space-joined gram (the Gopher repetition-filter
+    numerator; occurrences may overlap, so callers cap the fraction).
+
+    Computed entirely row-local in one codegen expression — NO explode,
+    NO shuffle: build the gram strings, ``array_sort`` them, then a
+    linear ``aggregate`` pass tracks the longest equal run. Ties break to
+    the lexicographically smallest gram (strictly-greater keeps the
+    earlier run of the ascending sort) — the DuckDB oracle mirrors with
+    ``ORDER BY n DESC, phrase ASC``. Reference analogue: the k-mer
+    count table consulted per window, code/dedup2.py:418-443 — here the
+    "table" is a per-document run scan, so the operator is shuffle-free
+    at any corpus size.
+    """
+    grams = (
+        f"array_sort(transform(sequence(1, size({toks_col}) - {k} + 1), "
+        f"s -> concat_ws(' ', slice({toks_col}, s, {k}))))"
+    )
+    scan = f"""
+    aggregate(
+      {grams},
+      named_struct(
+        'prev', cast(null as string), 'run', cast(0 as bigint),
+        'best', cast(0 as bigint), 'bg', cast('' as string)),
+      (st, x) -> named_struct(
+        'prev', x,
+        'run', if(x <=> st.prev, st.run + 1, cast(1 as bigint)),
+        'best', if(if(x <=> st.prev, st.run + 1, cast(1 as bigint)) > st.best,
+                   if(x <=> st.prev, st.run + 1, cast(1 as bigint)), st.best),
+        'bg',   if(if(x <=> st.prev, st.run + 1, cast(1 as bigint)) > st.best,
+                   x, st.bg)),
+      st -> st.best * length(st.bg))
+    """
+    return F.when(
+        F.size(F.col(toks_col)) >= k, F.expr(scan)
+    ).otherwise(F.lit(0).cast("bigint"))
