@@ -844,6 +844,23 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs.select("doc_id", planted.alias("text")))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-count sampling [R2/R3 grouped generalization;
+    reference: per-partition head after seeded shuffle,
+    code/partition_samples.sh:16-35]: exactly min(3, |stratum|) docs per
+    (lang, source) stratum, selected by normalized hash60 rank
+    (operators/split.stratified_sample_exact — threshold-pruned, no
+    corpus-wide window)."""
+    from genome_deduplication_spark.operators.split import stratified_sample_exact
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    order = hash60(F.col("doc_id").cast("string")) / F.lit(float(2**60))
+    out = stratified_sample_exact(
+        docs, 3, 0, ["lang", "source"], key_col="doc_id", order_col=order
+    )
+    return out.select("lang", "source", "doc_id", F.col("_rk").alias("rk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -872,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "repetition_metrics": q_repetition_metrics,
         "pii_redaction": q_pii_redaction,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1492,6 +1510,21 @@ def oracle_sql() -> dict[str, str]:
                 '\\+\\d{1,3} \\d{3} \\d{3,4}', '<PHONE>', 'g')
                 AS redacted_text
             FROM planted
+        """,
+        # same normalized-hash order + doc_id tie-break; the division by
+        # 2^60 must appear in BOTH engines — double rounding can collapse
+        # distinct hashes, and only the identical rounded value makes the
+        # doc_id tie-break fire identically
+        "stratified_sample": f"""
+            SELECT lang, source, doc_id, rk FROM (
+              SELECT lang, source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY {h60_docid} / 1152921504606846976.0, doc_id
+                     ) AS rk
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ) WHERE rk <= 3
         """,
     }
 

@@ -97,3 +97,62 @@ def sample_exact_n(df: DataFrame, n: int, seed: int, key_col: str = "url") -> Da
     return (
         df.orderBy(keyed_uniform(seed, F.col(key_col)), F.col(key_col)).limit(n)
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    n_per: int,
+    seed: int,
+    strata_cols: list[str],
+    key_col: str = "url",
+    order_col: F.Column | None = None,
+) -> DataFrame:
+    """Exactly min(n_per, |stratum|) rows from EVERY stratum — the grouped
+    generalization of R2/R3 (reference: per-partition head after seeded
+    shuffle, code/partition_samples.sh:16-35). Selection key is
+    ``order_col``, which MUST be uniform-like in [0, 1) (default:
+    keyed_uniform(seed, key_col); pass e.g. hash60/2^60 for an
+    oracle-portable key); ties break on ``key_col``, so the result is
+    deterministic and partitioning-invariant.
+
+    Scale shape: NO stratum-wide window over the corpus. One bounded
+    aggregate collects per-stratum counts (strata cardinality rows — lang
+    x source, not data-sized); each stratum gets a selection-key threshold
+    admitting ~factor * n_per expected rows; only the pruned survivors
+    are ranked with a partitioned window. Exactness is verified
+    (per-stratum selected counts, one bounded collect) and the threshold
+    escalates x4 on deficiency — astronomically rare with uniform keys,
+    and guaranteed to terminate because min(1.0, ...) eventually admits
+    every [0, 1) key. Rows with NULL in any stratum column are excluded
+    (documented; an equality join drops them).
+    """
+    u = (order_col if order_col is not None else keyed_uniform(seed, F.col(key_col)))
+    dfu = df.withColumn("_u", u)
+    counts = {
+        tuple(r[c] for c in strata_cols): r["cnt"]
+        for r in df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if all(r[c] is not None for c in strata_cols)
+    }
+    spark = df.sparkSession
+    factor = 8.0
+    while True:
+        thr = spark.createDataFrame(
+            [(*s, min(1.0, factor * n_per / cnt)) for s, cnt in counts.items()],
+            [*strata_cols, "_thr"],
+        )
+        sel = dfu.join(F.broadcast(thr), strata_cols).where(
+            F.col("_u") <= F.col("_thr")
+        )
+        w = Window.partitionBy(*strata_cols).orderBy("_u", key_col)
+        picked = sel.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= n_per
+        )
+        got = {
+            tuple(r[c] for c in strata_cols): r["cnt"]
+            for r in picked.groupBy(*strata_cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        if all(got.get(s, 0) >= min(n_per, c) for s, c in counts.items()):
+            return picked.drop("_u", "_thr")
+        factor *= 4

@@ -315,3 +315,67 @@ def test_cc_rounds_actually_persist(spark):
         "connected_components rounds left no persisted RDDs — the eager "
         "localCheckpoint contract is broken (see PLANS.md round 4)"
     )
+
+
+def test_stratified_sample_exact_counts_and_rank_parity(spark):
+    """Exactly min(n_per, |stratum|) per stratum; membership == the
+    brute-force per-stratum head by (u, key); NULL-stratum rows dropped."""
+    from genome_deduplication_spark.operators.split import (
+        keyed_uniform,
+        stratified_sample_exact,
+    )
+
+    rows = [(f"u{i}", ["big", "mid", "two", None][min(i // 40, 3)]) for i in range(95)]
+    # strata sizes: big=40, mid=40, two=15 -> with i//40: 0..39 big,
+    # 40..79 mid, 80..94 two; add two NULL rows
+    rows += [("nullA", None), ("nullB", None)]
+    df = spark.createDataFrame(rows, "url string, grp string")
+    out = stratified_sample_exact(df, 10, 42, ["grp"], key_col="url")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], set()).add(r["url"])
+    assert {g: len(v) for g, v in got.items()} == {"big": 10, "mid": 10, "two": 10}
+
+    u = {
+        r["url"]: r["_uu"]
+        for r in df.select(
+            "url", keyed_uniform(42, F.col("url")).alias("_uu")
+        ).collect()
+    }
+    for grp in ("big", "mid", "two"):
+        members = [url for url, g in rows if g == grp]
+        want = set(sorted(members, key=lambda m: (u[m], m))[:10])
+        assert got[grp] == want, grp
+
+
+def test_stratified_sample_threshold_escalation_still_exact(spark):
+    """Adversarial order key clustered just below 1.0: the first
+    threshold admits nothing, the x4 escalation must converge to the
+    exact answer (min(1.0, ...) eventually admits every [0,1) key)."""
+    from genome_deduplication_spark.operators.split import (
+        keyed_uniform,
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "only") for i in range(400)], "url string, grp string"
+    )
+    clustered = F.lit(0.999) + keyed_uniform(7, F.col("url")) / F.lit(1000.0)
+    out = stratified_sample_exact(
+        df, 5, 7, ["grp"], key_col="url", order_col=clustered
+    )
+    assert out.count() == 5
+
+
+def test_stratified_sample_prunes_before_window(spark):
+    """Scale guard: the window input must be the threshold-filtered side
+    (a corpus-wide per-stratum sort would be the naive plan)."""
+    from genome_deduplication_spark.operators.split import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"g{i % 3}") for i in range(600)], "url string, grp string"
+    )
+    out = stratified_sample_exact(df, 4, 1, ["grp"], key_col="url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_thr" in plan, plan  # prune filter present under the window
+    assert "BroadcastHashJoin" in plan, plan  # tiny threshold dim broadcast
