@@ -861,6 +861,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "source", "doc_id", F.col("_rk").alias("rk"))
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing [training-data composition tier; reference analogue:
+    stochastic retain lifted to a replication count, code/dedup2.py:283]:
+    per-source epoch weights (src0 x2.5, src1 x0.25, src2 dropped,
+    default x1.0) realized as deterministic copy counts
+    (operators/mixing.py); normalized hash60 plays the uniform so the
+    DuckDB oracle replicates bit-identically."""
+    from genome_deduplication_spark.operators.mixing import mix_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    order = hash60(F.col("doc_id").cast("string")) / F.lit(float(2**60))
+    return mix_corpus(
+        docs,
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        seed=0,
+        order_col=order,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -890,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -1525,6 +1545,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE lang IS NOT NULL AND source IS NOT NULL
             ) WHERE rk <= 3
+        """,
+        # identical weight CASE + identical normalized-hash uniform; the
+        # fractional parts (0.5, 0.25) are exact doubles, so the u < frac
+        # comparison is bit-identical across engines
+        "corpus_mix": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                                 WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+                     {h60_docid} / 1152921504606846976.0 AS u
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source,
+                     CAST(floor(wt) AS INT)
+                       + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+              FROM w
+            )
+            SELECT doc_id, source, unnest(range(0, n)) AS copy_id
+            FROM c WHERE n >= 1
         """,
     }
 
