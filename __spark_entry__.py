@@ -880,6 +880,45 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization [gaps-and-islands at event level — A1's
+    condenser semantics over time instead of positions,
+    code/dedup2.py:329-352]: 6-hour inactivity timeout, exact-microsecond
+    gap arithmetic (operators/sessions.sessionize)."""
+    from genome_deduplication_spark.operators.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=21600)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
+    )
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join [backward-inclusive temporal attach; Spark has no native
+    ASOF operator — composed as union + one running-window pass, one
+    shuffle on the key (operators/sessions.asof_join); the DuckDB oracle
+    uses its NATIVE ASOF LEFT JOIN, so parity checks our composition
+    against a reference implementation]: each purchase attributed to the
+    user's most recent at-or-before click."""
+    from genome_deduplication_spark.operators.sessions import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, by="user_id", value_cols=("event_id", "value")
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -910,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
+        "user_sessions": q_user_sessions,
+        "click_attribution": q_click_attribution,
     }
 
 
@@ -1565,6 +1606,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, unnest(range(0, n)) AS copy_id
             FROM c WHERE n >= 1
+        """,
+        # exact-microsecond gap DIFFERENCES (tz-independent, NTZ-safe:
+        # date_diff('microsecond') == Spark timestampdiff(MICROSECOND));
+        # CAST the running SUM to BIGINT (DuckDB sum(int) -> HUGEINT)
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pts
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     CAST(sum(CASE WHEN pts IS NULL
+                              OR date_diff('microsecond', pts, ts) > 21600000000
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   date_diff('microsecond', min(ts), max(ts)) AS dur_us
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # DuckDB's NATIVE ASOF LEFT JOIN is the reference implementation
+        # for the Spark union+window composition
+        "click_attribution": """
+            SELECT l.event_id AS purchase_event_id, l.user_id,
+                   r.event_id AS click_event_id, r.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
     }
 
