@@ -919,6 +919,22 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction [JSON path into typed aggregate;
+    reference analogue: typed fields parsed out of record lines, S2/P6
+    path munging code/dedup2.py:452-466]: pull ``$.k`` from the props
+    JSON string JVM-side (get_json_object — no Python, no UDF) and roll
+    up per event_type."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -951,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "user_sessions": q_user_sessions,
         "click_attribution": q_click_attribution,
+        "event_props_rollup": q_event_props_rollup,
     }
 
 
@@ -1640,6 +1657,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # json_extract_string == get_json_object for scalar paths; CAST
+        # the SUM (DuckDB sum(BIGINT) -> HUGEINT)
+        "event_props_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY event_type
         """,
     }
 

@@ -379,3 +379,24 @@ def test_stratified_sample_prunes_before_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_thr" in plan, plan  # prune filter present under the window
     assert "BroadcastHashJoin" in plan, plan  # tiny threshold dim broadcast
+
+
+def test_get_json_object_rollup_handles_malformed_and_missing(spark):
+    """The props JSON pull (q_event_props_rollup) must degrade to NULL —
+    not error — on malformed JSON, missing keys, and NULL props, and
+    aggregates must skip those rows like any NULL."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 3}'),
+            ("a", '{"k": 5}'),
+            ("a", '{"other": 1}'),
+            ("a", "not json at all"),
+            ("a", None),
+        ],
+        "event_type string, props string",
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    row = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(k).alias("s"), F.max(k).alias("m")
+    ).collect()[0]
+    assert (row["n"], row["s"], row["m"]) == (5, 8, 5)
