@@ -165,3 +165,53 @@ def test_four_way_spans_tile_corpus(spark):
     # every kind present on this fixture
     kinds = {r["kind"] for r in spans.select("kind").distinct().collect()}
     assert kinds == {"sample", "masked", "ignored", "ambiguous"}
+
+
+def test_write_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Shard export: every row lands in exactly one shard, one file per
+    shard directory, manifest counts match, and the assignment is
+    deterministic across re-exports."""
+    import glob
+    import json
+    import os
+
+    from genome_deduplication_spark.sources.sinks import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "shards")
+    m = write_training_shards(
+        df, out, rows_per_shard=100, key_col="doc_id", fmt="json", seed=7
+    )
+    assert m["n_shards"] == 5 and m["rows"] == m["rows_read_back"] == 500
+    assert sum(m["per_shard_rows"].values()) == 500
+    for sid in m["per_shard_rows"]:
+        files = [
+            f
+            for f in glob.glob(os.path.join(out, "data", f"shard_id={sid}", "*"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+        assert len(files) == 1, (sid, files)
+    back = spark.read.json(os.path.join(out, "data"))
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+
+    out2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(
+        df.repartition(13), out2, rows_per_shard=100, key_col="doc_id", fmt="json",
+        seed=7,
+    )
+    assert m2["per_shard_rows"] == m["per_shard_rows"]
+    assign1 = {
+        r["doc_id"]: r["shard_id"] for r in back.select("doc_id", "shard_id").collect()
+    }
+    assign2 = {
+        r["doc_id"]: r["shard_id"]
+        for r in spark.read.json(os.path.join(out2, "data"))
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    assert assign1 == assign2  # row-level assignment, not just counts
+    with open(os.path.join(out, "shards_manifest.json")) as f:
+        assert json.load(f)["per_shard_rows"] == m["per_shard_rows"]
