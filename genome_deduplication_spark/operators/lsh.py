@@ -62,7 +62,8 @@ DROP_CAP = 100_000  # buckets beyond this are degenerate mega-templates
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
                     id_col: str = "url", sig_col: str = "minhash",
-                    with_stats: bool = False):
+                    with_stats: bool = False,
+                    restrict_to: DataFrame | None = None):
     """Distinct candidate (id_a < id_b) pairs from shared band buckets.
 
     Emits a *star* within each (capped) bucket: every member pairs with the
@@ -88,6 +89,15 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     truncation_stats full-pass path).
     """
     buckets = band_buckets(signatures, cfg, id_col, sig_col)
+    if restrict_to is not None:
+        # incremental mode (operators/incremental.py): only buckets touched
+        # by the new batch regenerate pairs — a leftsemi keeps each touched
+        # bucket's FULL membership, so caps/ranks match a one-shot run
+        buckets = buckets.join(
+            restrict_to.select("band_id", "band_hash").distinct(),
+            ["band_id", "band_hash"],
+            "leftsemi",
+        )
 
     counts = buckets.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("_n")
