@@ -134,6 +134,8 @@ def stratified_sample_exact(
         if all(r[c] is not None for c in strata_cols)
     }
     spark = df.sparkSession
+    if not counts:  # empty input / all-NULL strata: empty result, same schema
+        return dfu.withColumn("_rk", F.lit(1)).where(F.lit(False)).drop("_u")
     factor = 8.0
     while True:
         thr = spark.createDataFrame(

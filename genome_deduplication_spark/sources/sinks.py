@@ -74,6 +74,16 @@ def write_training_shards(
     from ..operators.split import keyed_uniform
 
     n = df.count()
+    if n == 0:  # read.json cannot infer schema from a fileless directory
+        manifest = {
+            "format": fmt, "rows": 0, "rows_read_back": 0, "n_shards": 0,
+            "rows_per_shard_target": rows_per_shard, "per_shard_rows": {},
+            "seed": seed, "key_col": key_col,
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "shards_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
     n_shards = max(1, -(-n // rows_per_shard))
     bucket = F.floor(
         keyed_uniform(seed, F.col(key_col)) * F.lit(n_shards)

@@ -79,3 +79,87 @@ def run_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Stateful streaming twin of operators/sessions.sessionize:
+    ``applyInPandasWithState`` keeps (last_ts_us, next_session_idx) per
+    user and numbers sessions across micro-batches.
+
+    Contract: equals the batch operator when each user's events arrive in
+    nondecreasing event-time order ACROSS micro-batches (in-order ingest;
+    within a batch any order is fine — rows are sorted per invocation).
+    An availableNow run over a static source is a single batch and is
+    therefore exactly batch-equivalent (tested). State is two longs per
+    user — bounded by the user universe, not the event count; production
+    would add an event-time timeout to evict idle users.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("session_idx", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ts_us", LongType()), StructField("next_idx", LongType())]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def assign(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.exists:
+            last_us, cur_idx = state.get
+        else:
+            last_us, cur_idx = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            # normalize to MICROsecond ticks whatever unit pandas delivered
+            # (arrow conversion may hand datetime64[ns]; raw int64 of that
+            # would be 1000x off the gap threshold)
+            us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            idxs = []
+            for t in us:
+                if last_us is None or t - last_us > gap_us:
+                    cur_idx += 1
+                last_us = int(t)
+                idxs.append(cur_idx)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[user_col].astype("int64"),
+                    "event_id": pdf[id_col].astype("int64"),
+                    "ts": pdf[ts_col],
+                    "session_idx": idxs,
+                }
+            )
+        if last_us is not None:
+            state.update((last_us, cur_idx))
+
+    return (
+        events_stream.groupBy(user_col)
+        .applyInPandasWithState(
+            assign,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -400,3 +400,13 @@ def test_get_json_object_rollup_handles_malformed_and_missing(spark):
         F.count(F.lit(1)).alias("n"), F.sum(k).alias("s"), F.max(k).alias("m")
     ).collect()[0]
     assert (row["n"], row["s"], row["m"]) == (5, 8, 5)
+
+
+def test_stratified_sample_empty_input_and_all_null_strata(spark):
+    from genome_deduplication_spark.operators.split import stratified_sample_exact
+
+    empty = spark.createDataFrame([], "url string, grp string")
+    out = stratified_sample_exact(empty, 5, 1, ["grp"], key_col="url")
+    assert out.count() == 0 and "_rk" in out.columns
+    nulls = spark.createDataFrame([("u1", None), ("u2", None)], "url string, grp string")
+    assert stratified_sample_exact(nulls, 5, 1, ["grp"], key_col="url").count() == 0

@@ -215,3 +215,13 @@ def test_write_training_shards_roundtrip_and_determinism(spark, tmp_path):
     assert assign1 == assign2  # row-level assignment, not just counts
     with open(os.path.join(out, "shards_manifest.json")) as f:
         assert json.load(f)["per_shard_rows"] == m["per_shard_rows"]
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    from genome_deduplication_spark.sources.sinks import write_training_shards
+
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    m = write_training_shards(
+        df, str(tmp_path / "empty"), rows_per_shard=10, key_col="doc_id"
+    )
+    assert m["rows"] == m["n_shards"] == 0 and m["per_shard_rows"] == {}

@@ -183,3 +183,48 @@ def test_streaming_candidate_pairs_microbatch_sf001(spark, tmp_path):
     assert snapshots[0] == batch1
     assert snapshots[1] == batch_all
     assert len(snapshots[1]) > 0  # the corpus plants near-dup structure
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState) over an
+    availableNow run of the sf0.001 events table must assign the exact
+    (user_id, event_id) -> session_idx map of the batch operator."""
+    import pytest
+
+    from genome_deduplication_spark.operators.sessions import sessionize
+    from genome_deduplication_spark.streaming.ingest import streaming_sessionize
+
+    src0 = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src0):
+        pytest.skip("driver testdata not present")
+    # streaming file sources need a DIRECTORY; testdata is a single file
+    src = str(tmp_path / "incoming")
+    spark.read.parquet(src0).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(src)
+    out = str(tmp_path / "sessions")
+    q = (
+        streaming_sessionize(stream, gap_seconds=21600)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(
+            spark.read.parquet(src0), gap_seconds=21600
+        ).select("user_id", "event_id", "session_idx").collect()
+    }
+    assert got == want and len(got) == 1000
