@@ -935,6 +935,22 @@ def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group [§2.7 aggregate breadth;
+    reference analogue: the gap/length distribution stats, A6]: Spark's
+    exact `percentile` vs DuckDB `quantile_cont` — same (n-1)*p linear
+    interpolation definition; rounded to 4 places so a last-ulp
+    difference in the interpolation arithmetic cannot flip the hash."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -968,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "click_attribution": q_click_attribution,
         "event_props_rollup": q_event_props_rollup,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -1668,6 +1685,16 @@ def oracle_sql() -> dict[str, str]:
                      AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT))
                      AS max_k
+            FROM events GROUP BY event_type
+        """,
+        # quantile_cont == Spark exact `percentile` (same (n-1)*p linear
+        # interpolation); round(4) both sides
+        "value_percentiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
             FROM events GROUP BY event_type
         """,
     }
