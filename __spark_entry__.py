@@ -951,6 +951,41 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, driver-graded [D7/D8 cross-batch state; reference
+    checkpoint-then-continue, code/dedup2.py:546-588]: the corpus split
+    into two batches by doc_id parity, processed through
+    operators/incremental.dedup_increment against a fresh state dir —
+    the final clusters must equal the SAME planted-truth oracle as the
+    one-shot pipeline row (near_dup_clusters); the truth is a property
+    of the corpus, not of the execution strategy. Docs shorter than the
+    shingle width are excluded exactly as the pipeline's normalize stage
+    excludes them (the oracle's `ok` CTE)."""
+    import tempfile
+
+    from genome_deduplication_spark.operators.incremental import dedup_increment
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    pages = docs.where(norm.isNotNull() & (F.length(norm) >= K)).select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    state = tempfile.mkdtemp(prefix="dedup_inc_state_")
+    batch_a = pages.where(F.col("url").cast("bigint") % 2 == 0)
+    batch_b = pages.where(F.col("url").cast("bigint") % 2 == 1)
+    dedup_increment(batch_a, CFG, state)
+    result = dedup_increment(batch_b, CFG, state)
+    clusters = result["clusters"]
+    sizes = clusters.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_key").select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("cluster_key").cast("bigint").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -985,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "event_props_rollup": q_event_props_rollup,
         "value_percentiles": q_value_percentiles,
+        "incremental_near_dup": q_incremental_near_dup,
     }
 
 
@@ -1090,6 +1126,48 @@ def oracle_sql() -> dict[str, str]:
         f"min(({a[j]} * h + {b[j]}) % {MERSENNE31}) AS mh_{j}" for j in range(16)
     )
     h60_docid = _h60_duck("CAST(doc_id AS VARCHAR)")
+    # planted-truth connected components over exact-Jaccard/exact-text
+    # edges — shared by the one-shot pipeline row (near_dup_clusters) AND
+    # the two-batch incremental row (incremental_near_dup): the truth is a
+    # property of the corpus, not of the execution strategy
+    near_dup_truth_sql = f"""
+            WITH RECURSIVE
+            nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+            ok AS (SELECT doc_id, s FROM nrm
+                   WHERE s IS NOT NULL AND len(s) >= {K}),
+            pos AS (SELECT doc_id, s,
+                           unnest(range(1, len(s) - {K} + 2)) AS i
+                    FROM ok),
+            sh AS (SELECT DISTINCT doc_id,
+                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
+                   FROM pos),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT da AS a, db AS b
+              FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              WHERE c * 1.0 / (x.n + y.n - c) >= {CFG.jaccard_threshold}
+            ),
+            ex AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM ok x JOIN ok y ON x.s = y.s AND x.doc_id < y.doc_id
+            ),
+            edges AS (SELECT a, b FROM near UNION SELECT a, b FROM ex),
+            sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM ok
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+            )
+            SELECT src AS doc_id,
+                   CAST(min(CAST(dst AS VARCHAR)) AS BIGINT) AS cluster_id,
+                   count(DISTINCT dst) AS cluster_size
+            FROM reach GROUP BY src
+        """
     return {
         "exact_dup_clusters": f"""
             WITH keyed AS (
@@ -1388,44 +1466,8 @@ def oracle_sql() -> dict[str, str]:
         # canonical id mirrors the pipeline's min(warc_ts, url)-as-string
         # election (constant warc_ts here -> lexicographic min url).
         "substring_dup_clusters": _substring_oracle_sql(),
-        "near_dup_clusters": f"""
-            WITH RECURSIVE
-            nrm AS (SELECT doc_id, {_NORM} AS s FROM documents),
-            ok AS (SELECT doc_id, s FROM nrm
-                   WHERE s IS NOT NULL AND len(s) >= {K}),
-            pos AS (SELECT doc_id, s,
-                           unnest(range(1, len(s) - {K} + 2)) AS i
-                    FROM ok),
-            sh AS (SELECT DISTINCT doc_id,
-                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
-                   FROM pos),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ),
-            near AS (
-              SELECT da AS a, db AS b
-              FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-              WHERE c * 1.0 / (x.n + y.n - c) >= {CFG.jaccard_threshold}
-            ),
-            ex AS (
-              SELECT x.doc_id AS a, y.doc_id AS b
-              FROM ok x JOIN ok y ON x.s = y.s AND x.doc_id < y.doc_id
-            ),
-            edges AS (SELECT a, b FROM near UNION SELECT a, b FROM ex),
-            sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-            reach(src, dst) AS (
-              SELECT doc_id, doc_id FROM ok
-              UNION
-              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-            )
-            SELECT src AS doc_id,
-                   CAST(min(CAST(dst AS VARCHAR)) AS BIGINT) AS cluster_id,
-                   count(DISTINCT dst) AS cluster_size
-            FROM reach GROUP BY src
-        """,
+        "near_dup_clusters": near_dup_truth_sql,
+        "incremental_near_dup": near_dup_truth_sql,
         # The media table is synthesized byte-reproducibly inside the query
         # (testdata ships no binary-media table) and SQL has no image/audio
         # codecs, so the oracle is the frozen expected aggregate of the
