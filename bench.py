@@ -218,6 +218,13 @@ def main() -> None:
         "repetition_metrics",
         "boilerplate_cleaned",
         "decontamination",
+        "pii_redaction",
+        "stratified_sample",
+        "corpus_mix",
+        "user_sessions",
+        "click_attribution",
+        "event_props_rollup",
+        "value_percentiles",
         "embedding_cosine_topk",
         "substring_dup_clusters",
         "near_dup_clusters",
