@@ -986,6 +986,39 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup attribution — the composed webtext tier stack
+    [url fold + D4 exact + D1/D6/D8 near, first-match-wins; reference
+    fixed pass order with first-occurrence-wins commit,
+    code/dedup2.py:13-15,420-421]. URL variants are planted
+    deterministically (case / fragment / default-port / tracker /
+    duplicate- and trailing-slash noise, selector doc_id % 4) over a
+    shared page id (docs with doc_id % 11 == 3 share their predecessor's
+    page); the oracle constructs the canonical-URL truth directly, so
+    this row differentially proves canonicalize_url folds every planted
+    variant class. Output: one row per doc — (doc_id, tier in
+    url/exact/near/kept, kept_by = numeric-min representative id)."""
+    from genome_deduplication_spark.operators.tiers import tier_dedup_report
+
+    docs = _read(spark, sf_dir, "documents")
+    pid = (
+        F.col("doc_id")
+        - F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 3, F.lit(1)).otherwise(F.lit(0))
+    ).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    raw_url = (
+        F.when(v == 1, F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM/p/"), pid,
+                                F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("https://www.example.com:443/p/"), pid,
+                               F.lit("/?utm_source=feed&gclid=xyz")))
+        .when(v == 3, F.concat(F.lit("https://www.example.com//p//"), pid,
+                               F.lit("?ref=rss")))
+        .otherwise(F.concat(F.lit("https://www.example.com/p/"), pid))
+    )
+    pages = docs.select("doc_id", raw_url.alias("url"), "text")
+    return tier_dedup_report(pages, CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -1021,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_rollup": q_event_props_rollup,
         "value_percentiles": q_value_percentiles,
         "incremental_near_dup": q_incremental_near_dup,
+        "dedup_tier_report": q_dedup_tier_report,
     }
 
 
@@ -1468,6 +1502,68 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_clusters": _substring_oracle_sql(),
         "near_dup_clusters": near_dup_truth_sql,
         "incremental_near_dup": near_dup_truth_sql,
+        # tier stack, first-match-wins. The oracle builds the canonical-URL
+        # truth DIRECTLY from the planted page-id scheme (doc_id%11==3 folds
+        # with its predecessor), while the Spark side derives it through
+        # canonicalize_url over noisy raw variants — a real differential of
+        # the folding rules. near edges: same exact-Jaccard planted-truth
+        # criterion as near_dup_clusters, restricted to tier-1/2 survivors.
+        "dedup_tier_report": f"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id, text,
+                            doc_id - CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END AS pid
+                     FROM documents),
+            u AS (SELECT pid, min(doc_id) AS rep FROM base GROUP BY pid),
+            t_url AS (SELECT b.doc_id, u.rep
+                      FROM base b JOIN u USING (pid) WHERE b.doc_id != u.rep),
+            s1 AS (SELECT b.doc_id, {_NORM} AS s
+                   FROM base b JOIN u USING (pid) WHERE b.doc_id = u.rep),
+            e AS (SELECT s, min(doc_id) AS rep FROM s1
+                  WHERE s IS NOT NULL AND s != '' GROUP BY s),
+            t_exact AS (SELECT s1.doc_id, e.rep
+                        FROM s1 JOIN e USING (s) WHERE s1.doc_id != e.rep),
+            elig AS (SELECT doc_id, s FROM s1
+                     WHERE s IS NOT NULL AND len(s) >= {K}
+                       AND doc_id NOT IN (SELECT doc_id FROM t_exact)),
+            pos AS (SELECT doc_id, s,
+                           unnest(range(1, len(s) - {K} + 2)) AS i
+                    FROM elig),
+            sh AS (SELECT DISTINCT doc_id,
+                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
+                   FROM pos),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT da AS a, db AS b
+              FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+              WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM near UNION SELECT b AS a, a AS b FROM near),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM elig
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+            ),
+            cc AS (SELECT src AS doc_id, min(dst) AS rep
+                   FROM reach GROUP BY src),
+            t_near AS (SELECT doc_id, rep FROM cc WHERE doc_id != rep),
+            removed AS (SELECT doc_id FROM t_url
+                        UNION ALL SELECT doc_id FROM t_exact
+                        UNION ALL SELECT doc_id FROM t_near)
+            SELECT doc_id, 'url' AS tier, rep AS kept_by FROM t_url
+            UNION ALL
+            SELECT doc_id, 'exact' AS tier, rep AS kept_by FROM t_exact
+            UNION ALL
+            SELECT doc_id, 'near' AS tier, rep AS kept_by FROM t_near
+            UNION ALL
+            SELECT d.doc_id, 'kept' AS tier, CAST(NULL AS BIGINT) AS kept_by
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+        """,
         # The media table is synthesized byte-reproducibly inside the query
         # (testdata ships no binary-media table) and SQL has no image/audio
         # codecs, so the oracle is the frozen expected aggregate of the

@@ -228,6 +228,7 @@ def main() -> None:
         "embedding_cosine_topk",
         "substring_dup_clusters",
         "near_dup_clusters",
+        "dedup_tier_report",
     ]
     qs = entrymod.queries()
     for name in headline:

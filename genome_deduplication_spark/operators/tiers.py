@@ -1,0 +1,134 @@
+"""Tiered webtext dedup attribution: url-canonical -> exact -> near.
+
+A production crawl dedup stack applies cheap identity tiers before
+expensive similarity tiers: (1) canonical-URL fold (recrawls of the same
+resource under fragment/port/tracker/case variants), (2) exact content
+dedup over normalized text, (3) MinHash/LSH near-dup closed under
+connected components. Each tier sees only the previous tier's survivors
+(first-match-wins), and every document is attributed to exactly one
+removal tier — or ``kept`` — together with the id of the representative
+that shadows it. Reference analogue: the reference's fixed pass order
+with first-occurrence-wins deferred commit (code/dedup2.py:13-15,420-421),
+re-expressed as one declarative report instead of sequential file scans.
+
+Scale shape (100 TB):
+  - tiers 1-2 are hash-aggregates on uniform keys (canonical url /
+    normalized-text value) with a co-partitioned join-back — AQE reuses
+    the grouping exchange for the join, and a 10^8-recrawl URL collapses
+    to one group row (star join-back, never a collect_list);
+  - tier 3 inherits lsh.py's count-guarded bucket caps and the O(log n)
+    star CC — no all-pairs stage anywhere;
+  - the output is one fixed-width row per input doc; normalized text is
+    shuffled once per identity tier and never after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..functions.signatures import make_doc_signature_udf
+from ..functions.text import normalize_text
+from ..functions.urls import canonicalize_url
+from .connected_components import components_for_string_ids
+from .lsh import candidate_pairs
+from .verify import dup_edges, verify_pairs
+
+__all__ = ["tier_dedup_report"]
+
+
+def tier_dedup_report(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(numeric id, raw url, text) -> (doc_id, tier, kept_by).
+
+    ``tier`` is one of ``url`` / ``exact`` / ``near`` / ``kept``;
+    ``kept_by`` is the numeric-min id of the fold group that shadows the
+    doc (NULL for kept docs). Exactly one output row per input doc.
+
+    Tier semantics (first match wins):
+      url    same canonical URL as a lower-id doc (content irrelevant —
+             a recrawl of the same resource)
+      exact  same normalized text as a lower-id url-survivor (empty/NULL
+             text never folds: unknown content is not evidence of
+             duplication)
+      near   in the same LSH/verify/CC near-dup component as a lower-id
+             exact-survivor (docs shorter than one shingle are ineligible
+             and pass through, mirroring the pipeline's ambiguous split)
+      kept   survived every tier
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        canonicalize_url(F.col(url_col)).alias("cu"),
+        normalize_text(F.col(text_col)).alias("s"),
+    )
+
+    # -- tier 1: canonical-url identity fold --------------------------------
+    u_rep = base.groupBy("cu").agg(F.min("doc_id").alias("rep"))
+    t1 = base.join(u_rep, "cu").select("doc_id", "s", "rep")
+    url_removed = t1.where(F.col("doc_id") != F.col("rep")).select(
+        "doc_id", F.lit("url").alias("tier"), F.col("rep").alias("kept_by")
+    )
+    surv1 = t1.where(F.col("doc_id") == F.col("rep")).select("doc_id", "s")
+
+    # -- tier 2: exact normalized-content fold among url-survivors ----------
+    valid = surv1.where(F.col("s").isNotNull() & (F.col("s") != ""))
+    e_rep = valid.groupBy("s").agg(F.min("doc_id").alias("rep"))
+    t2 = valid.join(e_rep, "s").select("doc_id", "s", "rep")
+    exact_removed = t2.where(F.col("doc_id") != F.col("rep")).select(
+        "doc_id", F.lit("exact").alias("tier"), F.col("rep").alias("kept_by")
+    )
+    surv2 = t2.where(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "s"
+    ).unionByName(
+        surv1.where(F.col("s").isNull() | (F.col("s") == "")).select("doc_id", "s")
+    )
+
+    # -- tier 3: near-dup among exact-survivors ------------------------------
+    # same machinery as the flagship pipeline (signatures -> capped LSH
+    # buckets -> verify -> CC); survivors have pairwise-distinct text, so
+    # no exact short-circuit stage is needed here
+    eligible = F.length("s") >= F.lit(cfg.shingle_k)  # NULL-safe: NULL -> filtered
+    sig_udf = make_doc_signature_udf(cfg)
+    sigs = (
+        surv2.where(eligible)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            sig_udf(F.col("s")).alias("sig"),
+        )
+        .select(
+            "url",
+            F.col("sig.minhash").alias("minhash"),
+            F.col("sig.simhash").alias("simhash"),
+        )
+    )
+    pairs = candidate_pairs(sigs, cfg)
+    edges = dup_edges(verify_pairs(pairs, sigs, cfg))
+    memb = components_for_string_ids(edges, sigs.select("url")).select(
+        F.col("url").cast("bigint").alias("doc_id"), "cluster_key"
+    )
+    n_rep = memb.groupBy("cluster_key").agg(F.min("doc_id").alias("rep"))
+    t3 = memb.join(n_rep, "cluster_key").select("doc_id", "rep")
+    near_removed = t3.where(F.col("doc_id") != F.col("rep")).select(
+        "doc_id", F.lit("near").alias("tier"), F.col("rep").alias("kept_by")
+    )
+    kept_ids = t3.where(F.col("doc_id") == F.col("rep")).select("doc_id").unionByName(
+        surv2.where(~F.coalesce(eligible, F.lit(False))).select("doc_id")
+    )
+    kept = kept_ids.select(
+        "doc_id",
+        F.lit("kept").alias("tier"),
+        F.lit(None).cast("long").alias("kept_by"),
+    )
+
+    return (
+        url_removed.unionByName(exact_removed)
+        .unionByName(near_removed)
+        .unionByName(kept)
+    )
