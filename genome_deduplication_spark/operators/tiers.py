@@ -89,6 +89,12 @@ def tier_dedup_report(
     ).unionByName(
         surv1.where(F.col("s").isNull() | (F.col("s") == "")).select("doc_id", "s")
     )
+    # multi-consumer cut: surv2 feeds the signature path AND the
+    # ineligible-kept branch; without materialization each consumer
+    # re-runs normalize + both identity-tier aggregates. Eager, not lazy —
+    # lazy localCheckpoint marks are silently not persisted under AQE
+    # (the round-4 recompute bug, plans/pipeline.py stage()).
+    surv2 = surv2.localCheckpoint(eager=True)
 
     # -- tier 3: near-dup among exact-survivors ------------------------------
     # same machinery as the flagship pipeline (signatures -> capped LSH
@@ -107,6 +113,9 @@ def tier_dedup_report(
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
         )
+        # the Arrow signature kernel has ~5 downstream consumers (bucket
+        # counts, pairs, verify a/b, CC universe) — run it exactly once
+        .localCheckpoint(eager=True)
     )
     pairs = candidate_pairs(sigs, cfg)
     edges = dup_edges(verify_pairs(pairs, sigs, cfg))
