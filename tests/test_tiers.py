@@ -78,6 +78,21 @@ def test_tier_report_whitespace_docs_do_not_fold(tier_fixture):
     assert got[7] == ("kept", None)
 
 
+def test_tier_report_no_eligible_docs(spark):
+    """All-short/empty/NULL corpus: the near tier's signature frame is
+    empty — LSH/verify/CC on zero rows must not fail, and every doc with
+    a unique URL is kept."""
+    rows = [
+        (0, "https://x.example.com/a", "tiny"),
+        (1, "https://x.example.com/b", ""),
+        (2, "https://x.example.com/c", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["doc_id"]: (r["tier"], r["kept_by"])
+           for r in tier_dedup_report(docs, CFG).collect()}
+    assert got == {0: ("kept", None), 1: ("kept", None), 2: ("kept", None)}
+
+
 def test_entry_planted_url_fold_sf0001(spark, sf_dir):
     """The driver-query URL planting: every doc with doc_id%11==3 (whose
     predecessor exists) folds onto its predecessor's page through four
