@@ -56,6 +56,7 @@ def main() -> None:
 
     sc = spark.sparkContext
 
+    rep_windows: list[tuple[float, float]] = []
     for rep in range(args.reps):
         t0 = time.time()
         sc.setJobDescription(f"pipeline-rep{rep}")
@@ -63,6 +64,13 @@ def main() -> None:
         sc.setJobDescription(f"final-count-rep{rep}")
         nc = tables["clusters"].count()
         total = time.time() - t0
+        # epoch-ms window for event-log segmentation: per-rep job
+        # attribution by DESCRIPTION misses every stage:<name>-tagged job
+        # (pipeline.described() overrides the rep tag), which silently
+        # dropped the signature/verify/cluster stage jobs from the per-rep
+        # in-job union and misattributed them as driver gap / shrank the
+        # span. Wall-clock windows catch every job of the rep.
+        rep_windows.append((t0 * 1000.0, time.time() * 1000.0))
         print(f"rep{rep}: total={total:.2f}s clusters={nc}")
 
     spark.stop()
@@ -139,10 +147,11 @@ def main() -> None:
     # plus the raw job list for anything unattributed
     for rep in range(args.reps):
         tag = f"rep{rep}"
-        rj = [j for j in jobs if tag in j["desc"]]
+        w0, w1 = rep_windows[rep]
+        rj = [j for j in jobs if j["start"] >= w0 and j["end"] <= w1]
         if not rj:
             continue
-        span = (rj[-1]["end"] - rj[0]["start"]) / 1000.0
+        span = (w1 - w0) / 1000.0
         # driver-side fixed cost = span minus the union of job intervals
         # (time with NO job running: Catalyst planning, py4j round-trips,
         # checkpoint bookkeeping) — the Amdahl intercept the scaling
