@@ -306,14 +306,18 @@ def test_cc_rounds_actually_persist(spark):
         + [(i, i + 2) for i in range(0, 400, 4)],
         "src long, dst long",
     )
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # Compare persisted-RDD id SETS, not sizes: the shared session carries
+    # persisted RDDs from earlier tests, and Spark's ContextCleaner may
+    # unpersist any of those between the two reads (observed: the global
+    # count DROPPED across a passing CC run). Only NEW ids are evidence.
+    before_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     comp = connected_components(edges)
     n = comp.count()
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    after_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert n > 0
-    assert after > before, (
-        "connected_components rounds left no persisted RDDs — the eager "
-        "localCheckpoint contract is broken (see PLANS.md round 4)"
+    assert after_ids - before_ids, (
+        "connected_components rounds left no newly persisted RDDs — the "
+        "eager localCheckpoint contract is broken (see PLANS.md round 4)"
     )
 
 
