@@ -986,21 +986,14 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiered dedup attribution — the composed webtext tier stack
-    [url fold + D4 exact + D1/D6/D8 near, first-match-wins; reference
-    fixed pass order with first-occurrence-wins commit,
-    code/dedup2.py:13-15,420-421]. URL variants are planted
-    deterministically (case / fragment / default-port / tracker /
-    duplicate- and trailing-slash noise, selector doc_id % 4) over a
-    shared page id (docs with doc_id % 11 == 3 share their predecessor's
-    page); the oracle constructs the canonical-URL truth directly, so
-    this row differentially proves canonicalize_url folds every planted
-    variant class. Output: one row per doc — (doc_id, tier in
-    url/exact/near/kept, kept_by = numeric-min representative id)."""
-    from genome_deduplication_spark.operators.tiers import tier_dedup_report
-
-    docs = _read(spark, sf_dir, "documents")
+def _planted_url_pages(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url, text) pages with deterministic planted
+    URL variants (case / fragment / default-port / tracker / duplicate-
+    and trailing-slash noise, selector doc_id % 4) over a shared page id
+    (docs with doc_id % 11 == 3 share their predecessor's page). The
+    oracles construct the canonical-URL truth directly from the pid
+    scheme, so every query built on this frame differentially proves
+    canonicalize_url folds every planted variant class."""
     pid = (
         F.col("doc_id")
         - F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 3, F.lit(1)).otherwise(F.lit(0))
@@ -1015,8 +1008,58 @@ def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("?ref=rss")))
         .otherwise(F.concat(F.lit("https://www.example.com/p/"), pid))
     )
-    pages = docs.select("doc_id", raw_url.alias("url"), "text")
-    return tier_dedup_report(pages, CFG)
+    return docs.select("doc_id", raw_url.alias("url"), "text")
+
+
+def q_dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup attribution — the composed webtext tier stack
+    [url fold + D4 exact + D1/D6/D8 near, first-match-wins; reference
+    fixed pass order with first-occurrence-wins commit,
+    code/dedup2.py:13-15,420-421] over the planted-URL frame
+    (:func:`_planted_url_pages`). Output: one row per doc — (doc_id,
+    tier in url/exact/near/kept, kept_by = numeric-min representative
+    id)."""
+    from genome_deduplication_spark.operators.tiers import tier_dedup_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return tier_dedup_report(_planted_url_pages(docs), CFG)
+
+
+# training_corpus gate constants — shared verbatim by the Spark plan call
+# and the DuckDB oracle below
+_TC_MIN_TOKENS = 30
+_TC_MIN_DISTINCT_PCT = 40
+_TC_ROWS_PER_SHARD = 64
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus capstone [the full LLM-data
+    composition: tier dedup -> quality gates -> decontamination ->
+    deterministic shards; reference analogue: the dedup pass feeding the
+    retained-sample dump, code/dedup2.py:420-443,513]: runs
+    plans/training_corpus.build_training_corpus over the planted-URL
+    frame with the doc_id%50 benchmark subset and the portable hash60
+    uniform for shard assignment (so DuckDB replicates the bucketing
+    bit-identically). Output: (doc_id, n_tokens, n_distinct_tokens,
+    shard_id) — one row per training-ready doc."""
+    from genome_deduplication_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        "doc_id", "text"
+    )
+    u = hash60(F.col("doc_id").cast("string")) / F.lit(float(2**60))
+    return build_training_corpus(
+        _planted_url_pages(docs),
+        CFG,
+        benchmark=benchmark,
+        min_tokens=_TC_MIN_TOKENS,
+        min_distinct_pct=_TC_MIN_DISTINCT_PCT,
+        rows_per_shard=_TC_ROWS_PER_SHARD,
+        shard_uniform=u,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1055,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "incremental_near_dup": q_incremental_near_dup,
         "dedup_tier_report": q_dedup_tier_report,
+        "training_corpus": q_training_corpus,
     }
 
 
@@ -1160,6 +1204,59 @@ def oracle_sql() -> dict[str, str]:
         f"min(({a[j]} * h + {b[j]}) % {MERSENNE31}) AS mh_{j}" for j in range(16)
     )
     h60_docid = _h60_duck("CAST(doc_id AS VARCHAR)")
+    # tier-stack removal chain (url -> exact -> near, first-match-wins),
+    # shared by dedup_tier_report and the training_corpus capstone. The
+    # canonical-URL truth comes DIRECTLY from the planted page-id scheme
+    # (doc_id%11==3 folds with its predecessor) while Spark derives it
+    # through canonicalize_url over noisy raw variants — a real
+    # differential of the folding rules. near edges: same exact-Jaccard
+    # planted-truth criterion as near_dup_clusters, restricted to
+    # tier-1/2 survivors; `reach` is the recursive closure, so any
+    # statement embedding this chain must open WITH RECURSIVE.
+    tier_ctes = f"""base AS (SELECT doc_id, text,
+                            doc_id - CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END AS pid
+                     FROM documents),
+            u AS (SELECT pid, min(doc_id) AS rep FROM base GROUP BY pid),
+            t_url AS (SELECT b.doc_id, u.rep
+                      FROM base b JOIN u USING (pid) WHERE b.doc_id != u.rep),
+            s1 AS (SELECT b.doc_id, {_NORM} AS s
+                   FROM base b JOIN u USING (pid) WHERE b.doc_id = u.rep),
+            e AS (SELECT s, min(doc_id) AS rep FROM s1
+                  WHERE s IS NOT NULL AND s != '' GROUP BY s),
+            t_exact AS (SELECT s1.doc_id, e.rep
+                        FROM s1 JOIN e USING (s) WHERE s1.doc_id != e.rep),
+            elig AS (SELECT doc_id, s FROM s1
+                     WHERE s IS NOT NULL AND len(s) >= {K}
+                       AND doc_id NOT IN (SELECT doc_id FROM t_exact)),
+            pos AS (SELECT doc_id, s,
+                           unnest(range(1, len(s) - {K} + 2)) AS i
+                    FROM elig),
+            tsh AS (SELECT DISTINCT doc_id,
+                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
+                   FROM pos),
+            tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              FROM tsh a JOIN tsh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT da AS a, db AS b
+              FROM inter JOIN tsz x ON da = x.doc_id JOIN tsz y ON db = y.doc_id
+              WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM near UNION SELECT b AS a, a AS b FROM near),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM elig
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+            ),
+            cc AS (SELECT src AS doc_id, min(dst) AS rep
+                   FROM reach GROUP BY src),
+            t_near AS (SELECT doc_id, rep FROM cc WHERE doc_id != rep),
+            removed AS (SELECT doc_id FROM t_url
+                        UNION ALL SELECT doc_id FROM t_exact
+                        UNION ALL SELECT doc_id FROM t_near)"""
     # planted-truth connected components over exact-Jaccard/exact-text
     # edges — shared by the one-shot pipeline row (near_dup_clusters) AND
     # the two-batch incremental row (incremental_near_dup): the truth is a
@@ -1510,50 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         # criterion as near_dup_clusters, restricted to tier-1/2 survivors.
         "dedup_tier_report": f"""
             WITH RECURSIVE
-            base AS (SELECT doc_id, text,
-                            doc_id - CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END AS pid
-                     FROM documents),
-            u AS (SELECT pid, min(doc_id) AS rep FROM base GROUP BY pid),
-            t_url AS (SELECT b.doc_id, u.rep
-                      FROM base b JOIN u USING (pid) WHERE b.doc_id != u.rep),
-            s1 AS (SELECT b.doc_id, {_NORM} AS s
-                   FROM base b JOIN u USING (pid) WHERE b.doc_id = u.rep),
-            e AS (SELECT s, min(doc_id) AS rep FROM s1
-                  WHERE s IS NOT NULL AND s != '' GROUP BY s),
-            t_exact AS (SELECT s1.doc_id, e.rep
-                        FROM s1 JOIN e USING (s) WHERE s1.doc_id != e.rep),
-            elig AS (SELECT doc_id, s FROM s1
-                     WHERE s IS NOT NULL AND len(s) >= {K}
-                       AND doc_id NOT IN (SELECT doc_id FROM t_exact)),
-            pos AS (SELECT doc_id, s,
-                           unnest(range(1, len(s) - {K} + 2)) AS i
-                    FROM elig),
-            sh AS (SELECT DISTINCT doc_id,
-                          ({_h31_duck(f"substr(s, i, {K})")}) AS h
-                   FROM pos),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ),
-            near AS (
-              SELECT da AS a, db AS b
-              FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-              WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
-            ),
-            sym AS (SELECT a, b FROM near UNION SELECT b AS a, a AS b FROM near),
-            reach(src, dst) AS (
-              SELECT doc_id, doc_id FROM elig
-              UNION
-              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-            ),
-            cc AS (SELECT src AS doc_id, min(dst) AS rep
-                   FROM reach GROUP BY src),
-            t_near AS (SELECT doc_id, rep FROM cc WHERE doc_id != rep),
-            removed AS (SELECT doc_id FROM t_url
-                        UNION ALL SELECT doc_id FROM t_exact
-                        UNION ALL SELECT doc_id FROM t_near)
+            {tier_ctes}
             SELECT doc_id, 'url' AS tier, rep AS kept_by FROM t_url
             UNION ALL
             SELECT doc_id, 'exact' AS tier, rep AS kept_by FROM t_exact
@@ -1563,6 +1617,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, 'kept' AS tier, CAST(NULL AS BIGINT) AS kept_by
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+        """,
+        # capstone composition: tier survivors -> integer quality gates ->
+        # 13-gram decontamination vs the doc_id%50 benchmark -> hash60
+        # uniform bucketed into ceil(n/rows_per_shard) shards. Every stage
+        # reuses a CTE pattern a simpler green oracle already proved
+        # (tiers / token_quality / decontamination / stratified_sample).
+        "training_corpus": f"""
+            WITH RECURSIVE
+            {tier_ctes},
+            kept_docs AS (SELECT d.doc_id, d.text FROM documents d
+                          WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)),
+            kq AS (SELECT doc_id, {_NORM} AS s FROM kept_docs),
+            qm AS (SELECT doc_id, s,
+                          len(string_split(s, ' ')) AS n_tokens,
+                          len(list_distinct(string_split(s, ' ')))
+                            AS n_distinct_tokens
+                   FROM kq),
+            qual AS (SELECT * FROM qm
+                     WHERE n_tokens >= {_TC_MIN_TOKENS}
+                       AND n_distinct_tokens * 100
+                           >= n_tokens * {_TC_MIN_DISTINCT_PCT}),
+            bn AS (SELECT doc_id, {_NORM} AS s FROM documents
+                   WHERE doc_id % 50 = 0),
+            btoks AS (SELECT doc_id, unnest(string_split(s, ' ')) AS tok,
+                             generate_subscripts(string_split(s, ' '), 1) AS ord
+                      FROM bn),
+            bwins AS (
+              SELECT t.doc_id, string_agg(t2.tok, ' ' ORDER BY t2.ord) AS phrase
+              FROM btoks t
+              JOIN btoks t2 ON t2.doc_id = t.doc_id
+                           AND t2.ord BETWEEN t.ord AND t.ord + 12
+              GROUP BY t.doc_id, t.ord HAVING count(*) = 13
+            ),
+            bench AS (SELECT DISTINCT phrase FROM bwins),
+            qtoks AS (SELECT doc_id, unnest(string_split(s, ' ')) AS tok,
+                             generate_subscripts(string_split(s, ' '), 1) AS ord
+                      FROM qual),
+            qwins AS (
+              SELECT t.doc_id, string_agg(t2.tok, ' ' ORDER BY t2.ord) AS phrase
+              FROM qtoks t
+              JOIN qtoks t2 ON t2.doc_id = t.doc_id
+                           AND t2.ord BETWEEN t.ord AND t.ord + 12
+              GROUP BY t.doc_id, t.ord HAVING count(*) = 13
+            ),
+            contam AS (SELECT DISTINCT q.doc_id
+                       FROM qwins q JOIN bench USING (phrase)),
+            clean AS (SELECT doc_id, n_tokens, n_distinct_tokens FROM qual
+                      WHERE doc_id % 50 <> 0
+                        AND doc_id NOT IN (SELECT doc_id FROM contam))
+            SELECT doc_id, n_tokens, n_distinct_tokens,
+                   CAST(floor(({h60_docid} / 1152921504606846976.0)
+                              * ceil(count(*) OVER ()
+                                     / {float(_TC_ROWS_PER_SHARD)}))
+                        AS INTEGER) AS shard_id
+            FROM clean
         """,
         # The media table is synthesized byte-reproducibly inside the query
         # (testdata ships no binary-media table) and SQL has no image/audio

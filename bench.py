@@ -229,6 +229,7 @@ def main() -> None:
         "substring_dup_clusters",
         "near_dup_clusters",
         "dedup_tier_report",
+        "training_corpus",
     ]
     qs = entrymod.queries()
     for name in headline:
