@@ -990,10 +990,33 @@ def _planted_url_pages(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, url, text) pages with deterministic planted
     URL variants (case / fragment / default-port / tracker / duplicate-
     and trailing-slash noise, selector doc_id % 4) over a shared page id
-    (docs with doc_id % 11 == 3 share their predecessor's page). The
-    oracles construct the canonical-URL truth directly from the pid
-    scheme, so every query built on this frame differentially proves
-    canonicalize_url folds every planted variant class."""
+    (docs with doc_id % 11 == 3 share their predecessor's page), PLUS
+    planted exact-text duplicates: docs with doc_id % 13 == 5 carry their
+    predecessor's text verbatim (the raw documents table has zero
+    exact-text dup groups, so without this plant the EXACT tier never
+    fires at driver scale and its first-match-wins precedence goes
+    differentially unproven). The oracles construct both truths directly
+    from the id schemes, so every query built on this frame proves
+    canonicalize_url folding AND the url > exact > near precedence —
+    including the interaction cases (a %13==5 doc that is also %11==3
+    must land in the url tier; one whose predecessor was url-folded away
+    becomes the sole holder of that text and must stay near/kept)."""
+    pred = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("_pred_text"),
+    )
+    docs = (
+        docs.join(pred, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.pmod(F.col("doc_id"), F.lit(13)) == 5)
+                & F.col("_pred_text").isNotNull(),
+                F.col("_pred_text"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_pred_text")
+    )
     pid = (
         F.col("doc_id")
         - F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 3, F.lit(1)).otherwise(F.lit(0))
@@ -1213,9 +1236,15 @@ def oracle_sql() -> dict[str, str]:
     # planted-truth criterion as near_dup_clusters, restricted to
     # tier-1/2 survivors; `reach` is the recursive closure, so any
     # statement embedding this chain must open WITH RECURSIVE.
-    tier_ctes = f"""base AS (SELECT doc_id, text,
+    tier_ctes = f"""base0 AS (SELECT doc_id, text,
                             doc_id - CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END AS pid
                      FROM documents),
+            base AS (SELECT b.doc_id,
+                            CASE WHEN b.doc_id % 13 = 5 AND p.text IS NOT NULL
+                                 THEN p.text ELSE b.text END AS text,
+                            b.pid
+                     FROM base0 b
+                     LEFT JOIN base0 p ON p.doc_id = b.doc_id - 1),
             u AS (SELECT pid, min(doc_id) AS rep FROM base GROUP BY pid),
             t_url AS (SELECT b.doc_id, u.rep
                       FROM base b JOIN u USING (pid) WHERE b.doc_id != u.rep),
@@ -1626,8 +1655,12 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus": f"""
             WITH RECURSIVE
             {tier_ctes},
-            kept_docs AS (SELECT d.doc_id, d.text FROM documents d
-                          WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)),
+            -- planted text (base), NOT raw documents.text: a %13==5 doc
+            -- whose predecessor was url-folded away survives the tiers
+            -- carrying the predecessor's text, and the quality gates
+            -- must see what the Spark side sees
+            kept_docs AS (SELECT b.doc_id, b.text FROM base b
+                          WHERE b.doc_id NOT IN (SELECT doc_id FROM removed)),
             kq AS (SELECT doc_id, {_NORM} AS s FROM kept_docs),
             qm AS (SELECT doc_id, s,
                           len(string_split(s, ' ')) AS n_tokens,
