@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 from ..functions.signatures import make_doc_signature_udf
+from ..functions.text import normalize_text
 from .connected_components import components_for_string_ids
 from .exact_dedup import content_key
 from .lsh import band_buckets, candidate_pairs
@@ -63,12 +64,19 @@ def _load_manifest(state_dir: str) -> dict | None:
 
 
 def _batch_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    # Sign NORMALIZED text, exactly like pipeline stage 2 (whose stage-1
+    # normalize rewrites `text` before the signature UDF runs). Signing raw
+    # text here would make incremental near-dup clusters diverge from the
+    # one-shot pipeline on any corpus with case/whitespace variance, while
+    # content_key (which normalizes internally) would still agree — the
+    # exact and near tiers would disagree about what the document is.
     sig_udf = make_doc_signature_udf(cfg)
+    norm = normalize_text(F.col("text"))
     return (
         docs.select(
             "url",
-            content_key(F.col("text")).alias("content_hash"),
-            sig_udf("text").alias("sig"),
+            content_key(norm).alias("content_hash"),
+            sig_udf(norm).alias("sig"),
         )
         .select(
             "url",

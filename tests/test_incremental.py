@@ -61,3 +61,26 @@ def test_config_mismatch_refuses(spark, corpus, tmp_path):
     changed = DedupConfig(jaccard_threshold=0.5)
     with pytest.raises(ValueError, match="config mismatch"):
         dedup_increment(corpus.limit(20), changed, d)
+
+
+def test_signs_normalized_text_like_pipeline(spark, tmp_path):
+    """Regression: _batch_signatures must sign NORMALIZED text.
+
+    Raw-text signing made the near tier diverge from the one-shot pipeline
+    (and the driver oracle) on any corpus with case/whitespace variance:
+    content_key normalizes internally, so within one dedup_increment call the
+    exact and near tiers would disagree about what the document is. Plant a
+    pair that is a near-dup ONLY after normalization (one doc is the other
+    uppercased with a word swapped, so raw-case shingle sets are disjoint)
+    and assert it clusters.
+    """
+    base = " ".join(f"word{i} token{i}" for i in range(120))
+    near_raw = (base.upper() + " EXTRA TAIL WORDS HERE").replace("  ", " ")
+    rows = [("u://a", base), ("u://b", near_raw)] + [
+        (f"u://filler{i}", f"unique filler document {i} " * 30)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    r = dedup_increment(docs, DedupConfig(), str(tmp_path / "norm_state"))
+    parts = _partitions(r["clusters"])
+    assert any({"u://a", "u://b"} <= p for p in parts)
