@@ -17,8 +17,10 @@ Rules (documented contract, in application order):
   3. drop default ports (:80 for http, :443 for https)
   4. drop tracking query params (utm_*, gclid, fbclid, ref), keep the
      rest in their original order, drop a now-empty '?'
-  5. collapse duplicate slashes in the path (//a//b -> /a/b)
-  6. drop a single trailing slash on a non-root path
+  5. collapse duplicate slashes in the path (//a//b -> /a/b) — the path
+     ONLY: slashes inside the query string are values, not structure
+  6. drop a single trailing slash on a non-root path (again path only —
+     '?next=/p/' keeps its value intact)
 """
 
 from __future__ import annotations
@@ -47,9 +49,17 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"&" + _TRACKING, "")
     u = F.regexp_replace(u, r"\?" + _TRACKING + r"&", "?")
     u = F.regexp_replace(u, r"\?" + _TRACKING + r"$", "")
-    # 5. duplicate slashes in the path only (not the scheme's //)
-    u = F.regexp_replace(u, r"(?<!:)/{2,}", "/")
-    # 6. trailing slash on a non-root path (end of url or just before '?')
-    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/$", r"$1")
-    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/\?", r"$1?")
-    return u
+    # 5+6 apply to the PATH only — not the scheme's // and not the query
+    #    string, where slashes are data ('?next=//partner.example/x' names a
+    #    different redirect target than '?next=/partner.example/x', and
+    #    '?next=/p/' a different value than '?next=/p'; rewriting there
+    #    would fold genuinely distinct pages into one identity). Split at
+    #    the first '?', rewrite left of it only, re-concat.
+    qpos = F.instr(u, "?")
+    path_part = F.when(qpos > 0, F.substr(u, F.lit(1), qpos - 1)).otherwise(u)
+    query_part = F.when(qpos > 0, F.substr(u, qpos)).otherwise(F.lit(""))
+    # 5. duplicate slashes in the path (//a//b -> /a/b)
+    p = F.regexp_replace(path_part, r"(?<!:)/{2,}", "/")
+    # 6. trailing slash on a non-root path
+    p = F.regexp_replace(p, r"(://[^/?#]+/.+?)/$", r"$1")
+    return F.concat(p, query_part)

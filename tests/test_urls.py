@@ -24,7 +24,28 @@ CASES = [
     ("http://e.com/a/", "http://e.com/a"),
     ("HTTP://E.com:80//x//y/?utm_medium=m&q=1#top", "http://e.com/x/y?q=1"),
     ("http://e.com/CaseSensitive/Path", "http://e.com/CaseSensitive/Path"),
+    # slashes in the QUERY are values, not structure — never rewritten
+    (
+        "https://h.com/login?next=//partner.example/x",
+        "https://h.com/login?next=//partner.example/x",
+    ),
+    ("http://e.com//a//b?next=//x//y/", "http://e.com/a/b?next=//x//y/"),
+    ("http://e.com/a/?next=/p/", "http://e.com/a?next=/p/"),
 ]
+
+
+def test_query_slash_variants_stay_distinct(spark):
+    # the bug this guards: collapsing '//' inside query values folded two
+    # different redirect targets into one canonical identity
+    df = spark.createDataFrame(
+        [
+            ("https://h.com/login?next=//partner.example/x",),
+            ("https://h.com/login?next=/partner.example/x",),
+        ],
+        "url string",
+    )
+    keys = df.select(canonicalize_url(F.col("url")).alias("k"))
+    assert keys.distinct().count() == 2
 
 
 def test_canonicalize_rules_and_idempotence(spark):
