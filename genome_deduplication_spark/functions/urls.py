@@ -21,6 +21,15 @@ Rules (documented contract, in application order):
      ONLY: slashes inside the query string are values, not structure
   6. drop a single trailing slash on a non-root path (again path only —
      '?next=/p/' keeps its value intact)
+
+Expression-size note: the query is split off FIRST, directly on the
+(cheap) fragment-stripped column, and the path/query rule chains run on
+their own sides before one final concat. Splitting at the END instead
+(substr over the fully-rewritten tree) re-embeds the whole rules-1-4
+expression ~6x; combined with the null-rejecting isnotnull() filter that
+joins push below the projection, that blew past janino's method limit
+and knocked the identity-fold hot path out of whole-stage codegen
+(observed: CodeGenerator compile errors + interpreted fallback).
 """
 
 from __future__ import annotations
@@ -35,31 +44,27 @@ _TRACKING = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
 
 def canonicalize_url(url: Column) -> Column:
     # 1. fragment
-    u = F.regexp_replace(url, r"#.*$", "")
+    u0 = F.regexp_replace(url, r"#.*$", "")
+    # split query off the small tree ('?' cannot occur in scheme/host/path)
+    path = F.regexp_replace(u0, r"\?.*$", "")
+    query = F.regexp_extract(u0, r"(\?.*)$", 1)  # '' when absent
     # 2. lowercase scheme://host[:port] (group 1), keep the rest (group 2)
-    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
-    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(scheme_host, rest)
+    scheme_host = F.lower(
+        F.regexp_extract(path, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    )
+    rest = F.regexp_replace(path, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    p = F.concat(scheme_host, rest)
     # 3. default ports
-    u = F.regexp_replace(u, r"^(http://[^/?#]*):80(?=[/?#]|$)", r"$1")
-    u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?#]|$)", r"$1")
+    p = F.regexp_replace(p, r"^(http://[^/]*):80(?=/|$)", r"$1")
+    p = F.regexp_replace(p, r"^(https://[^/]*):443(?=/|$)", r"$1")
+    # 5. duplicate slashes in the path (not the scheme's //)
+    p = F.regexp_replace(p, r"(?<!:)/{2,}", "/")
+    # 6. trailing slash on a non-root path
+    p = F.regexp_replace(p, r"(://[^/]+/.+?)/$", r"$1")
     # 4. tracking params — '&'-prefixed occurrences FIRST (one pass kills
     #    every non-leading tracker, so runs like ?gclid=..&fbclid=..&id=1
     #    reduce correctly), then the leading '?tracker&' / lone '?tracker'
-    u = F.regexp_replace(u, r"&" + _TRACKING, "")
-    u = F.regexp_replace(u, r"\?" + _TRACKING + r"&", "?")
-    u = F.regexp_replace(u, r"\?" + _TRACKING + r"$", "")
-    # 5+6 apply to the PATH only — not the scheme's // and not the query
-    #    string, where slashes are data ('?next=//partner.example/x' names a
-    #    different redirect target than '?next=/partner.example/x', and
-    #    '?next=/p/' a different value than '?next=/p'; rewriting there
-    #    would fold genuinely distinct pages into one identity). Split at
-    #    the first '?', rewrite left of it only, re-concat.
-    qpos = F.instr(u, "?")
-    path_part = F.when(qpos > 0, F.substr(u, F.lit(1), qpos - 1)).otherwise(u)
-    query_part = F.when(qpos > 0, F.substr(u, qpos)).otherwise(F.lit(""))
-    # 5. duplicate slashes in the path (//a//b -> /a/b)
-    p = F.regexp_replace(path_part, r"(?<!:)/{2,}", "/")
-    # 6. trailing slash on a non-root path
-    p = F.regexp_replace(p, r"(://[^/?#]+/.+?)/$", r"$1")
-    return F.concat(p, query_part)
+    q = F.regexp_replace(query, r"&" + _TRACKING, "")
+    q = F.regexp_replace(q, r"\?" + _TRACKING + r"&", "?")
+    q = F.regexp_replace(q, r"\?" + _TRACKING + r"$", "")
+    return F.concat(p, q)

@@ -54,7 +54,11 @@ def tier_dedup_report(
 
     Tier semantics (first match wins):
       url    same canonical URL as a lower-id doc (content irrelevant —
-             a recrawl of the same resource)
+             a recrawl of the same resource). NULL/empty urls never fold
+             at this tier: unknown resource identity is not evidence of
+             duplication (and a null-rejecting equi-join must not drop
+             the row — every doc still gets exactly one output row);
+             such docs fall through to the content tiers
       exact  same normalized text as a lower-id url-survivor (empty/NULL
              text never folds: unknown content is not evidence of
              duplication)
@@ -63,10 +67,28 @@ def tier_dedup_report(
              and pass through, mirroring the pipeline's ambiguous split)
       kept   survived every tier
     """
+    # NULL/empty url -> a per-doc sentinel key ('\x00null:<id>'): it keeps
+    # the row alive through the tier-1 equi-join (NULL keys are rejected by
+    # equi-joins, which silently deleted such docs from the report) while
+    # guaranteeing it folds with nothing (real canonical urls never start
+    # with \x00, and the id makes each sentinel unique). Two projections on
+    # purpose, and nullif (2 refs) rather than when/otherwise (3 refs):
+    # CollapseProject inlines cheap/single-use aliases, and the tier-1
+    # join's inferred isnotnull() pushes below the projection inlining the
+    # whole tree again — keeping the reference count minimal is what keeps
+    # the generated code inside janino's method limit (observed
+    # codegen-compile fallback when it isn't).
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        canonicalize_url(F.col(url_col)).alias("cu"),
+        canonicalize_url(F.col(url_col)).alias("cu_raw"),
         normalize_text(F.col(text_col)).alias("s"),
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.col("cu_raw"), F.lit("")),
+            F.concat(F.lit("\x00null:"), F.col("doc_id").cast("string")),
+        ).alias("cu"),
+        "s",
     )
 
     # -- tier 1: canonical-url identity fold --------------------------------

@@ -93,6 +93,34 @@ def test_tier_report_no_eligible_docs(spark):
     assert got == {0: ("kept", None), 1: ("kept", None), 2: ("kept", None)}
 
 
+def test_tier_report_null_and_empty_urls(spark):
+    """NULL/empty-url docs must (a) still produce exactly one output row —
+    the tier-1 equi-join used to silently delete them (null-rejecting
+    join), so they were neither removed nor kept — and (b) never fold with
+    each other at the url tier (unknown resource identity is not evidence
+    of duplication), while (c) still folding at the CONTENT tiers."""
+    rng = random.Random(11)
+    a = _long_text(rng)
+    b = _long_text(rng)
+    rows = [
+        (0, "https://n.example.com/a", a),
+        (1, None, a),        # exact-dup content, unknown url -> exact tier
+        (2, None, b),        # distinct content, NULL url -> kept
+        (3, "", b),          # distinct content... but exact-dup of 2
+        (4, None, _long_text(rng)),
+        (5, "", _long_text(rng)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["doc_id"]: (r["tier"], r["kept_by"])
+           for r in tier_dedup_report(docs, CFG).collect()}
+    assert set(got) == set(range(6))            # no silent row loss
+    assert got[1] == ("exact", 0)               # content tier still fires
+    assert got[2] == ("kept", None)
+    assert got[3] == ("exact", 2)               # '' url does not fold w/ NULL
+    assert got[4] == ("kept", None)
+    assert got[5] == ("kept", None)
+
+
 def test_entry_planted_url_fold_sf0001(spark, sf_dir):
     """The driver-query URL planting: every doc with doc_id%11==3 (whose
     predecessor exists) folds onto its predecessor's page through four
