@@ -219,6 +219,12 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so payload[pos + 1] is the marker code
+        # (without this, 'FF FF DB' read marker=0xFF and fell into the
+        # segment branch, unpacking a garbage length)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -98,3 +98,23 @@ def test_dimension_cap():
     raw[i + 5 : i + 9] = (0xFFFF).to_bytes(2, "big") * 2
     with pytest.raises(ValueError, match="implausible"):
         decode_jpeg(bytes(raw))
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+    before a marker. Identical pixels encoded with and without pad bytes
+    must decode identically (the old walk read marker=0xFF and raised on
+    a garbage segment length, so padded-but-valid files fell to the
+    byte-fallback feature and never deduped against their unpadded twin).
+    """
+    img = _gradient(16, 16)
+    raw = encode_jpeg(img, 90)
+    base = decode_jpeg(raw)
+    # inject fill bytes before the first DQT (FF DB) and before EOI (FF D9)
+    padded = bytearray(raw)
+    eoi = padded.rindex(b"\xff\xd9")
+    padded[eoi:eoi] = b"\xff" * 3
+    dqt = padded.index(b"\xff\xdb")
+    padded[dqt:dqt] = b"\xff" * 2
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
