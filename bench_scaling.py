@@ -40,6 +40,46 @@ import subprocess
 import sys
 import time
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def probe_iters(secs: float) -> int:
+    """One window of the canonical host-speed kernel: the L2-resident
+    blocked uint64 multiply-mod loop the signature kernel runs, one
+    thread. Returns iterations completed in ``secs`` seconds.
+
+    This is the repo's single calibration loop — bench.py's weather
+    probe, quiet_pairs' launch gates, the 1 Hz campaign ticker
+    (TICKER_SNIPPET), and the hardware-ceiling burn workers all call it,
+    so their iters/s numbers are directly comparable across tools; a
+    tweak here (iteration count, array size) re-calibrates everything
+    together instead of silently de-calibrating cross-tool comparisons.
+    """
+    import numpy as np
+
+    x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(
+        2**31 - 1
+    )
+    prod = np.empty_like(x)
+    buf = np.empty_like(x)
+    tmp = np.empty_like(x)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        np.multiply(x, np.uint64(1103515245), out=prod)
+        prod += np.uint64(12345)
+        np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
+        np.right_shift(prod, np.uint64(31), out=tmp)
+        buf += tmp
+        n += 1
+    return n
+
+
+def probe_speed(secs: float = 5.0) -> float:
+    """Single-core host-speed probe: mean iters/s over one window."""
+    return probe_iters(secs) / secs
+
+
 def hardware_compute_eff(low: int, high: int, secs: float = 8.0) -> dict:
     """Spark-free hardware scaling ceiling: the same cache-blocked uint64
     multiply-mod loop the signature kernel runs, on `low` and `high`
@@ -50,25 +90,8 @@ def hardware_compute_eff(low: int, high: int, secs: float = 8.0) -> dict:
     relative to this ceiling."""
     import multiprocessing as mp
 
-    import numpy as np
-
     def burn(q):
-        x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(
-            2**31 - 1
-        )
-        prod = np.empty_like(x)
-        buf = np.empty_like(x)
-        tmp = np.empty_like(x)
-        n = 0
-        t0 = time.time()
-        while time.time() - t0 < secs:
-            np.multiply(x, np.uint64(1103515245), out=prod)
-            prod += np.uint64(12345)
-            np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
-            np.right_shift(prod, np.uint64(31), out=tmp)
-            buf += tmp
-            n += 1
-        q.put(n)
+        q.put(probe_iters(secs))
 
     out = {}
     for workers in (low, high):
@@ -130,29 +153,22 @@ def hardware_bandwidth_eff(low: int, high: int, secs: float = 8.0,
     }
 
 
-TICKER_SNIPPET = r"""
 # single-core host-speed ticker: the campaign's weather instrument.
 # Round-5 finding: per-core host speed swings ~3x on minute timescales
 # (ceiling canaries 29535 -> 10267 iters/s twenty minutes apart), so a
-# 3-second bracketing probe cannot normalize a 15-minute rep. This loop
-# (same L2-resident blocked multiply-mod as the ceiling probe, one
-# thread, 1/32 of the box) appends "epoch iters_last_second" once per
-# second for the campaign's whole duration; each rep is normalized by
-# host speed integrated over ITS OWN window.
+# 3-second bracketing probe cannot normalize a 15-minute rep. The ticker
+# (probe_iters, one thread, 1/32 of the box) appends
+# "epoch iters_last_second" once per second for the campaign's whole
+# duration; each rep is normalized by host speed integrated over ITS OWN
+# window. Launch with argv = [ticker_path, REPO_ROOT] — the snippet
+# imports the canonical kernel rather than carrying a drift-prone copy.
+TICKER_SNIPPET = r"""
 import sys, time
-import numpy as np
-x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(2**31 - 1)
-prod = np.empty_like(x); buf = np.empty_like(x); tmp = np.empty_like(x)
+sys.path.insert(0, sys.argv[2])
+from bench_scaling import probe_iters
 f = open(sys.argv[1], "a", buffering=1)
 while True:
-    n = 0; t0 = time.time()
-    while time.time() - t0 < 1.0:
-        np.multiply(x, np.uint64(1103515245), out=prod)
-        prod += np.uint64(12345)
-        np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
-        np.right_shift(prod, np.uint64(31), out=tmp)
-        buf += tmp
-        n += 1
+    n = probe_iters(1.0)
     f.write(f"{time.time():.1f} {n}\n")
 """
 
@@ -261,7 +277,7 @@ def main() -> None:
 
     ticker_path = f"/tmp/hostspeed_{int(time.time())}.log"
     ticker = subprocess.Popen(
-        [sys.executable, "-c", TICKER_SNIPPET, ticker_path],
+        [sys.executable, "-c", TICKER_SNIPPET, ticker_path, REPO_ROOT],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
 

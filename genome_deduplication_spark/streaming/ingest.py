@@ -104,18 +104,18 @@ def streaming_sessionize(
     import pandas as pd  # noqa: F401 (worker-side)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        LongType,
-        StructField,
-        StructType,
-        TimestampNTZType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
+    # honor the caller's column names AND types: the output carries the
+    # input's user/id/ts fields through unchanged (hardcoding
+    # user_id/event_id + LongType silently misnamed columns under renames
+    # and crashed worker-side on string event ids)
+    in_schema = events_stream.schema
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
-            StructField("event_id", LongType()),
-            StructField("ts", TimestampNTZType()),
+            StructField(user_col, in_schema[user_col].dataType),
+            StructField(id_col, in_schema[id_col].dataType),
+            StructField(ts_col, in_schema[ts_col].dataType),
             StructField("session_idx", LongType()),
         ]
     )
@@ -144,9 +144,9 @@ def streaming_sessionize(
                 idxs.append(cur_idx)
             yield pd.DataFrame(
                 {
-                    "user_id": pdf[user_col].astype("int64"),
-                    "event_id": pdf[id_col].astype("int64"),
-                    "ts": pdf[ts_col],
+                    user_col: pdf[user_col],
+                    id_col: pdf[id_col],
+                    ts_col: pdf[ts_col],
                     "session_idx": idxs,
                 }
             )

@@ -228,3 +228,49 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
         ).select("user_id", "event_id", "session_idx").collect()
     }
     assert got == want and len(got) == 1000
+
+
+def test_streaming_sessionize_honors_column_params(spark, tmp_path):
+    """user_col/ts_col/id_col must flow through to the OUTPUT schema, and
+    non-long id types must survive (the old hardcoded schema emitted
+    user_id/event_id LongType regardless, crashing on string ids)."""
+    from genome_deduplication_spark.streaming.ingest import streaming_sessionize
+
+    rows = [
+        ("e1", "2026-01-01 00:00:00", "alice"),
+        ("e2", "2026-01-01 00:10:00", "alice"),
+        ("e3", "2026-01-01 09:00:00", "alice"),  # new session (gap 30m)
+        ("e4", "2026-01-01 00:05:00", "bob"),
+    ]
+    src = str(tmp_path / "renamed_src")
+    spark.createDataFrame(rows, "msg_id string, at string, uid string").select(
+        "msg_id", F.col("at").cast("timestamp_ntz").alias("at"), "uid"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "msg_id string, at timestamp_ntz, uid string"
+    ).parquet(src)
+    out = str(tmp_path / "renamed_out")
+    q = (
+        streaming_sessionize(
+            stream, gap_seconds=1800, user_col="uid", ts_col="at", id_col="msg_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "renamed_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"uid", "msg_id", "at", "session_idx"}
+    assert dict(res.dtypes)["msg_id"] == "string"
+    got = {(r["uid"], r["msg_id"]): r["session_idx"] for r in res.collect()}
+    assert got == {
+        ("alice", "e1"): 1,
+        ("alice", "e2"): 1,
+        ("alice", "e3"): 2,
+        ("bob", "e4"): 1,
+    }

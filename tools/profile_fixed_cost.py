@@ -77,21 +77,10 @@ def main() -> None:
     time.sleep(1)
 
     # parse the event log: job timeline. Spark 4 writes a rolling DIRECTORY
-    # eventlog_v2_<app>/events_*.zstd — decompress via the zstd binary when
-    # present, else pyarrow's bundled zstd codec.
-    import shutil
-    import subprocess
-
-    def decompress_zstd(src: str, dst: str) -> None:
-        if shutil.which("unzstd"):
-            subprocess.run(["unzstd", "-f", src, "-o", dst],
-                           check=True, capture_output=True)
-            return
-        import pyarrow as pa
-
-        with pa.input_stream(src, compression="zstd") as ins, \
-                open(dst, "wb") as out:
-            shutil.copyfileobj(ins, out)
+    # eventlog_v2_<app>/events_*.zstd — the decompress helper is shared
+    # with the other event-log profiler so format fixes land once.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_stage_cpu import decompress_zstd
 
     ev_files = []
     for entry in os.listdir(evdir):

@@ -35,33 +35,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench_scaling import (  # noqa: E402
+    REPO_ROOT,
     TICKER_SNIPPET,
+    probe_speed,
     run_jvm,
     ticker_mean,
 )
-
-
-def probe_speed(secs: float = 5.0) -> float:
-    """Single-core host-speed probe: same blocked multiply-mod loop as
-    the campaign ticker, run inline. Returns iters/s."""
-    import numpy as np
-
-    x = np.arange(32768, dtype=np.uint64) * np.uint64(2654435761) % np.uint64(
-        2**31 - 1
-    )
-    prod = np.empty_like(x)
-    buf = np.empty_like(x)
-    tmp = np.empty_like(x)
-    n = 0
-    t0 = time.time()
-    while time.time() - t0 < secs:
-        np.multiply(x, np.uint64(1103515245), out=prod)
-        prod += np.uint64(12345)
-        np.bitwise_and(prod, np.uint64(2**31 - 1), out=buf)
-        np.right_shift(prod, np.uint64(31), out=tmp)
-        buf += tmp
-        n += 1
-    return n / secs
 
 
 def main() -> None:
@@ -111,7 +90,7 @@ def main() -> None:
         n_attempt += 1
         ticker_path = f"/tmp/hostspeed_pair_{int(time.time())}.log"
         ticker = subprocess.Popen(
-            [sys.executable, "-c", TICKER_SNIPPET, ticker_path],
+            [sys.executable, "-c", TICKER_SNIPPET, ticker_path, REPO_ROOT],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         runs = {}

@@ -38,7 +38,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench_scaling import TICKER_SNIPPET, ticker_mean  # noqa: E402
+from bench_scaling import REPO_ROOT, TICKER_SNIPPET, ticker_mean  # noqa: E402
 
 
 def proc_stat() -> dict:
@@ -67,7 +67,7 @@ def main() -> None:
 
     ticker_path = f"/tmp/hostspeed_size_{int(time.time())}.log"
     ticker = subprocess.Popen(
-        [sys.executable, "-c", TICKER_SNIPPET, ticker_path],
+        [sys.executable, "-c", TICKER_SNIPPET, ticker_path, REPO_ROOT],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     hz = os.sysconf("SC_CLK_TCK")
