@@ -23,11 +23,24 @@ A then B == clusters of a one-shot run over A ∪ B. Why it holds:
     components as the full-group star (every star connects all members
     to a group minimum).
 
-State layout (``state_dir``): ``v{n}/signatures`` + ``v{n}/edges``
-parquet and a ``manifest.json`` naming the current version — the
-manifest is replaced atomically (os.replace), so a crash mid-batch
-leaves the previous version intact (the parquet+manifest pattern of
-sources/checkpoint.py; Iceberg snapshots in production).
+State layout (``state_dir``): APPEND-ONLY version deltas —
+``v{i}/signatures`` + ``v{i}/edges`` hold only what batch *i* added (its
+signatures; the near/exact edges it discovered), and the live state is
+the union of ``v0..vn``. A ``manifest.json`` names the current version
+and running doc count and is replaced atomically (os.replace), so a
+crash mid-batch leaves the previous version intact and a partial
+``v{n}`` is simply overwritten on retry (the parquet+manifest pattern
+of sources/checkpoint.py; Iceberg *append* snapshots in production).
+
+Why deltas and not full rewrites: rewriting the whole signature/edge
+state per batch is O(total) WRITE amplification on every ingest — at
+10^12 accumulated docs each daily batch would rewrite the entire corpus
+state. Per-batch writes here are O(batch + touched); the O(total) that
+remains is the read side (bucket membership + CC over the union), which
+the clusters-cover-every-doc contract genuinely requires. Edge deltas
+may repeat a prior batch's pair (a touched bucket re-emits pairs over
+its full membership); the union is ``distinct``-ed before CC, so the
+components are identical to the one-shot run.
 """
 
 from __future__ import annotations
@@ -61,6 +74,13 @@ def _load_manifest(state_dir: str) -> dict | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def _delta_paths(state_dir: str, version: int, kind: str) -> list[str]:
+    """Paths of every version's ``kind`` delta, v0..version inclusive."""
+    return [
+        os.path.join(state_dir, f"v{i}", kind) for i in range(version + 1)
+    ]
 
 
 def _batch_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -104,14 +124,20 @@ def dedup_increment(docs: DataFrame, cfg: DedupConfig, state_dir: str) -> dict:
     version = 0 if man is None else man["version"] + 1
 
     new_sigs = _batch_signatures(docs, cfg).localCheckpoint(eager=True)
+    n_new = new_sigs.count()
     if man is None:
         all_sigs = new_sigs
         prior_edges = None
+        n_prior = 0
     else:
-        prior_dir = os.path.join(state_dir, f"v{man['version']}")
-        prior_sigs = spark.read.parquet(os.path.join(prior_dir, "signatures"))
+        prior_sigs = spark.read.parquet(
+            *_delta_paths(state_dir, man["version"], "signatures")
+        )
         all_sigs = prior_sigs.unionByName(new_sigs)
-        prior_edges = spark.read.parquet(os.path.join(prior_dir, "edges"))
+        prior_edges = spark.read.parquet(
+            *_delta_paths(state_dir, man["version"], "edges")
+        )
+        n_prior = man["n_docs"]
 
     # near-dup edges: only buckets the new batch touches
     touched = band_buckets(new_sigs, cfg).select("band_id", "band_hash")
@@ -132,7 +158,11 @@ def dedup_increment(docs: DataFrame, cfg: DedupConfig, state_dir: str) -> dict:
         .select("id_a", F.col("url").alias("id_b"))
     )
 
-    edges = near.unionByName(exact)
+    # this batch's edge DELTA is what gets persisted; CC runs on the
+    # distinct union of all deltas (touched buckets re-emit old-old
+    # pairs, so the union may repeat rows — distinct collapses them)
+    new_edges = near.unionByName(exact).localCheckpoint(eager=True)
+    edges = new_edges
     if prior_edges is not None:
         edges = edges.unionByName(prior_edges)
     edges = edges.distinct().localCheckpoint(eager=True)
@@ -142,16 +172,19 @@ def dedup_increment(docs: DataFrame, cfg: DedupConfig, state_dir: str) -> dict:
     )
 
     vdir = os.path.join(state_dir, f"v{version}")
-    all_sigs.write.mode("overwrite").parquet(os.path.join(vdir, "signatures"))
-    edges.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+    new_sigs.write.mode("overwrite").parquet(os.path.join(vdir, "signatures"))
+    new_edges.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+    n_docs = n_prior + n_new
     tmp = _manifest_path(state_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "config": cfg.to_json()}, f)
+        json.dump(
+            {"version": version, "config": cfg.to_json(), "n_docs": n_docs}, f
+        )
     os.replace(tmp, _manifest_path(state_dir))
 
     return {
         "clusters": clusters,
         "version": version,
-        "n_docs": all_sigs.count(),
+        "n_docs": n_docs,
         "n_edges": edges.count(),
     }

@@ -84,3 +84,23 @@ def test_signs_normalized_text_like_pipeline(spark, tmp_path):
     r = dedup_increment(docs, DedupConfig(), str(tmp_path / "norm_state"))
     parts = _partitions(r["clusters"])
     assert any({"u://a", "u://b"} <= p for p in parts)
+
+
+def test_state_versions_are_deltas(spark, corpus, tmp_path):
+    """Per-batch writes must be O(batch + touched), not O(total):
+    v1/signatures holds only batch B's rows, never a rewrite of the
+    whole accumulated state (the Iceberg-append analogue)."""
+    cfg = DedupConfig()
+    a = corpus.where(F.crc32("url") % 2 == 0)
+    b = corpus.where(F.crc32("url") % 2 == 1)
+    d = str(tmp_path / "delta_state")
+    dedup_increment(a, cfg, d)
+    r2 = dedup_increment(b, cfg, d)
+
+    v0 = spark.read.parquet(d + "/v0/signatures")
+    v1 = spark.read.parquet(d + "/v1/signatures")
+    assert v0.count() == a.count()
+    assert v1.count() == b.count()          # delta, not full rewrite
+    urls_b = {r["url"] for r in b.select("url").collect()}
+    assert {r["url"] for r in v1.select("url").collect()} == urls_b
+    assert r2["n_docs"] == corpus.count()   # manifest-accumulated count
