@@ -137,3 +137,30 @@ def test_entry_planted_url_fold_sf0001(spark, sf_dir):
     # partition invariant at sf scale: one row per doc, all tiers legal
     assert len(out) == len(ids)
     assert {r["tier"] for r in out} <= {"url", "exact", "near", "kept"}
+
+
+def test_tier_plan_compiles_under_wholestage_codegen(spark):
+    """Regression guard for the PLANS.md round-5 codegen hazard: the
+    identity-tier expression tree (canonicalize_url + sentinel wrapper +
+    the join's inferred isnotnull pushdown) once grew past janino's
+    method limit, silently dropping the hottest stage to interpreted
+    mode. With fallback disabled, a compile failure becomes a hard error
+    and this test goes red instead."""
+    old = spark.conf.get("spark.sql.codegen.fallback", None)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rng = random.Random(3)
+        rows = [
+            (i, f"https://g.example.com/{i}?next=//x/{i}", _long_text(rng))
+            for i in range(8)
+        ] + [(8, None, _long_text(rng)), (9, "", _long_text(rng))]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+        out = tier_dedup_report(docs, CFG).collect()
+        assert len(out) == 10
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.codegen.fallback")
+        else:
+            spark.conf.set("spark.sql.codegen.fallback", old)
