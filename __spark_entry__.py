@@ -517,6 +517,71 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_N_ANCHORS = 10    # vectors vec_id < this anchor a planted blob
+SEM_N_MEMBERS = 5     # blob members per anchor
+SEM_ID_OFFSET = 9_000_000  # member id = offset + anchor*members + j
+SEM_NOISE_AMP = 0.004  # per-component noise (blob cos >= 0.9999)
+SEM_EPS = 0.9
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup [dedup over embeddings, clustering
+    path — Abbas et al. 2023]: spherical k-means cells as the candidate
+    generator, exact cosine >= eps pruning within cells, min-id survivor
+    election (operators/semantic.py). The corpus plants 10 tight blobs
+    (anchor + 5 keyed-noise members, cos ~0.9999) over the random-unit
+    background (pairwise cos <= ~0.52), so the eps-duplicate groups are
+    exactly the blob cliques regardless of k-means internals — the DuckDB
+    oracle therefore checks the pruning brute-force over the same
+    reconstructed corpus, the ann_lsh_topk verification pattern. Integer +
+    boolean output — hash-exact. Extends the reference's exact-identity
+    dedup (code/dedup2.py:520-554) to the embedding modality."""
+    from genome_deduplication_spark.operators.semantic import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    mid = (
+        F.lit(SEM_ID_OFFSET)
+        + F.col("vec_id") * F.lit(SEM_N_MEMBERS)
+        + F.col("m")
+    )
+    members = (
+        base.where(F.col("vec_id") < SEM_N_ANCHORS)
+        .select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SEM_N_MEMBERS - 1))
+            ).alias("m"),
+        )
+        .select(
+            mid.alias("vec_id"),
+            F.transform(
+                "v", lambda x, i: x + _sem_noise_spark(mid, i + 1)
+            ).alias("v"),
+        )
+    )
+    corpus = base.unionByName(members)
+    return semantic_dedup(
+        corpus, k=SEM_N_ANCHORS, eps=SEM_EPS, n_iter=3,
+        id_col="vec_id", vec_col="v",
+    ).select("vec_id", "rep_id", "kept")
+
+
+def _sem_noise_spark(member_id, j1):
+    """Deterministic blob-member perturbation, identical in Spark and
+    DuckDB: keyed-uniform in [-amp/2, amp/2) from the shared md5 hash60
+    ('s' key prefix keeps it independent of the ANN row's noise)."""
+    key = F.concat(
+        F.lit("s"), member_id.cast("string"), F.lit("_"), j1.cast("string")
+    )
+    u = (hash60(key) % F.lit(10007)) / F.lit(10007.0)
+    return (u - F.lit(0.5)) * F.lit(SEM_NOISE_AMP)
+
+
 # --- planted substring-dup construction (oracle row for the suffix-array
 # pass, the ann_lsh_topk pattern) ------------------------------------------
 # For each base doc (doc_id < _SUB_N, stripped text >= _SUB_MINSRC chars)
@@ -1106,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "semantic_dedup": q_semantic_dedup,
         "substring_dup_clusters": q_substring_dup_clusters,
         "near_dup_clusters": q_near_dup_clusters,
         "media_decode_stats": q_media_decode_stats,
@@ -1614,6 +1680,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        """,
+        # semantic_dedup: planted-truth oracle, same verification pattern
+        # as ann_lsh_topk — the k-means cells are a candidate generator,
+        # and on this corpus the eps-duplicate groups are exactly the blob
+        # cliques (members cos ~0.9999 to their anchor, everything else
+        # <= ~0.52 vs eps 0.9), so the pruning the operator MUST produce
+        # is checkable brute-force: rep = min id over {{self}} U
+        # {{eps-neighbors}} (exact for cliques), kept = is own rep.
+        "semantic_dedup": f"""
+            WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            flat AS (SELECT vec_id AS aid, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS j
+                     FROM v0 WHERE vec_id < {SEM_N_ANCHORS}),
+            mem AS (
+              SELECT {SEM_ID_OFFSET} + aid * {SEM_N_MEMBERS} + mm.m AS vec_id,
+                     list(x + (({_h60_duck(
+                         "concat('s', CAST((" + str(SEM_ID_OFFSET)
+                         + " + aid * " + str(SEM_N_MEMBERS)
+                         + " + mm.m) AS VARCHAR), '_', CAST(j AS VARCHAR))"
+                     )} % 10007)
+                               / 10007.0 - 0.5) * {SEM_NOISE_AMP} ORDER BY j)
+                       AS v
+              FROM flat
+              CROSS JOIN (SELECT unnest(range({SEM_N_MEMBERS})) AS m) mm
+              GROUP BY 1
+            ),
+            corpus AS (SELECT vec_id, v FROM v0
+                       UNION ALL SELECT vec_id, v FROM mem),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                  FROM corpus),
+            nbr AS (SELECT a.vec_id AS vid, b.vec_id AS nid
+                    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                          >= {SEM_EPS})
+            SELECT c.vec_id,
+                   LEAST(c.vec_id, COALESCE(MIN(nb.nid), c.vec_id))
+                     AS rep_id,
+                   LEAST(c.vec_id, COALESCE(MIN(nb.nid), c.vec_id))
+                     = c.vec_id AS kept
+            FROM corpus c LEFT JOIN nbr nb ON nb.vid = c.vec_id
+            GROUP BY c.vec_id
         """,
         # near_dup_clusters: planted-truth oracle. The pipeline itself
         # (pandas-UDF MinHash + LSH + iterative CC) is not SQL-expressible,
