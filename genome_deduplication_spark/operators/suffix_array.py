@@ -213,26 +213,81 @@ def pairs_from_anchor_rows(
     duplicate k-mer regardless of frequency, code/dedup2.py:142): at
     10^12 docs, frequency IS the boilerplate/quotation signal.
     """
+    # Physical shape (rewritten in round 5 after the 640k profile): the old
+    # a-join-b self-join exchanged the full (anchor, id) payload twice and
+    # sort-merge-joined two 10M-row string-keyed sides — ~730 CPU-s at
+    # local[8], amplified by this host's flat aggregate memory-bandwidth
+    # cap (BENCH.md round 5). Now: count-first drop of template anchors
+    # (map-side combinable, so mega-anchors never reach a reducer), ONE
+    # exchange of the kept rows keyed by compact hash128 ids, capped
+    # member arrays, and pairs emitted by array transforms (the lsh.py
+    # clique pattern — cap 50 bounds a row to 1225 pair structs). The
+    # small surviving pair set joins back to real ids at the end.
+    compact = isinstance(anchors.schema[id_col].dataType, T.StringType)
+    if compact:
+        from genome_deduplication_spark.functions.hashing import hash128
+
+        key_col = "_sa_key"
+        keyed = anchors.select(
+            "anchor", hash128(F.col(id_col)).alias(key_col)
+        )
+        # distinct (group-by-only => buffer-free HashAggregate; md5
+        # collisions make key<->id effectively bijective)
+        idmap = anchors.select(
+            hash128(F.col(id_col)).alias(key_col), F.col(id_col)
+        ).distinct()
+    else:
+        key_col = id_col
+        keyed = anchors
+
     small = (
-        anchors.groupBy("anchor")
+        keyed.groupBy("anchor")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_bucket_size)
         .select("anchor")
     )
-    kept = anchors.join(small, "anchor")
-    a = kept.select("anchor", F.col(id_col).alias("id_a"))
-    b = kept.select("anchor", F.col(id_col).alias("id_b"))
+    members = (
+        keyed.join(small, "anchor")
+        .groupBy("anchor")
+        .agg(F.sort_array(F.collect_list(key_col)).alias("m"))
+        .where(F.size("m") >= 2)
+    )
+    clique = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, max_bucket_size),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     # require >= min_shared_anchors distinct shared anchors: a true shared
     # substring of min_len yields ~4 expected anchors; a single chance anchor
     # collision (one common phrase) is pruned before any suffix-array work
-    return (
-        a.join(b, "anchor")
-        .where(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        members.select(F.explode(clique).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
         .where(F.col("n_shared_anchors") >= min_shared_anchors)
         .select("id_a", "id_b")
     )
+    if compact:
+        map_a = idmap.select(
+            F.col(key_col).alias("id_a"), F.col(id_col).alias("_ia")
+        )
+        map_b = idmap.select(
+            F.col(key_col).alias("id_b"), F.col(id_col).alias("_ib")
+        )
+        pairs = (
+            pairs.join(map_a, "id_a")
+            .join(map_b, "id_b")
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+            )
+        )
+    return pairs
 
 
 def exact_substring_pairs(

@@ -197,11 +197,21 @@ def dedup_pipeline(
 
     def _reps():
         # exact-group representatives: one signature per content hash, so a
-        # 10^6-copy mega-duplicate costs one signature in every band bucket
-        return signatures.groupBy("content_hash").agg(
-            F.min(F.struct("warc_ts", "url")).alias("_c"),
-            F.first("minhash").alias("minhash"),
-        ).select(F.col("_c.url").alias("url"), "minhash")
+        # 10^6-copy mega-duplicate costs one signature in every band bucket.
+        # The election aggregates NARROW rows only: any string/struct/array
+        # aggregate plans a SortAggregate (no mutable buffer), and sorting
+        # rows that carry the 1KB minhash array was the single biggest CPU
+        # burner of the 640k profile (PLANS.md round 5). Elect ids first,
+        # then fetch minhash by semi-join — the rep-id side broadcasts at
+        # bench scale and co-partitions at cluster scale.
+        rep_ids = (
+            signatures.groupBy("content_hash")
+            .agg(F.min(F.struct("warc_ts", "url")).alias("_c"))
+            .select(F.col("_c.url").alias("url"))
+        )
+        return signatures.join(rep_ids, "url", "leftsemi").select(
+            "url", "minhash"
+        )
 
     # truncation accounting (lsh.py's docstring promise: buckets the
     # candidate stage dropped/capped are accounted, never silent — reference
@@ -213,10 +223,17 @@ def dedup_pipeline(
     trunc_holder: dict = {}
 
     def _lsh_pairs():
+        # reps feed four subtrees of the candidate plan (key projection,
+        # id map, and the counts/members sides of the bucket machinery) —
+        # materialize once, eagerly (lazy marks are not persisted under
+        # AQE, PLANS.md round 4). Before this, the reps election and the
+        # band explode each ran twice (640k profile: two ~360-CPU-s
+        # SortAggregate stages over the full signature table).
+        reps = _reps().localCheckpoint(eager=True)
         if ctx is None:
-            return candidate_pairs(_reps(), cfg, id_col="url", sig_col="minhash")
+            return candidate_pairs(reps, cfg, id_col="url", sig_col="minhash")
         pairs, stats = candidate_pairs(
-            _reps(), cfg, id_col="url", sig_col="minhash", with_stats=True
+            reps, cfg, id_col="url", sig_col="minhash", with_stats=True
         )
         trunc_holder["stats"] = stats
         return pairs

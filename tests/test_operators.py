@@ -96,9 +96,19 @@ def test_components_for_string_ids(spark):
     }
 
 
+def _lsh_key_order(ids):
+    """The operator's internal election order for string ids: hash128
+    (md5) of the id — compact keys keep url bytes out of the banded
+    explode/sort/shuffle (operators/lsh.py round-5 rewrite)."""
+    import hashlib
+
+    return sorted(ids, key=lambda u: hashlib.md5(u.encode()).digest())
+
+
 def test_candidate_pairs_star_and_clique_policy(spark):
     """Small buckets emit full cliques; big buckets emit a star around the
-    minimum member (bounded edges; CC restores transitivity)."""
+    bucket-minimum member in election-key (hash128) order (bounded edges;
+    CC restores transitivity). Output pairs are id-normalized id_a < id_b."""
     from genome_deduplication_spark.config import DedupConfig
     from genome_deduplication_spark.operators.lsh import (
         CLIQUE_BUDGET,
@@ -116,10 +126,10 @@ def test_candidate_pairs_star_and_clique_policy(spark):
     ms = sorted(u for u, _ in small)
     for i in range(len(ms)):
         for j in range(i + 1, len(ms)):
-            want.add((ms[i], ms[j]))
-    mb = sorted(u for u, _ in big)
-    for j in range(1, len(mb)):
-        want.add((mb[0], mb[j]))
+            want.add((ms[i], ms[j]))  # clique: all pairs, order-free
+    mb = _lsh_key_order([u for u, _ in big])
+    for other in mb[1:]:  # star around the key-order minimum
+        want.add((min(mb[0], other), max(mb[0], other)))
     assert got == want
 
 
@@ -138,9 +148,10 @@ def test_candidate_pairs_cap_and_truncation_stats(spark):
     docs = [(f"d{i:03d}", [3] * cfg.num_perm) for i in range(20)]
     df = spark.createDataFrame(docs, "url string, minhash array<bigint>")
     got = {(r["id_a"], r["id_b"]) for r in candidate_pairs(df, cfg).collect()}
-    kept = sorted(u for u, _ in docs)[:5]  # 5 smallest ids survive the cap
+    # the 5 smallest members in election-key (hash128) order survive the cap
+    kept = _lsh_key_order([u for u, _ in docs])[:5]
     want = {
-        (kept[i], kept[j])
+        (min(kept[i], kept[j]), max(kept[i], kept[j]))
         for i in range(5)
         for j in range(i + 1, 5)  # 5 <= CLIQUE_BUDGET -> full clique
     }
