@@ -134,7 +134,14 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         # which would silently re-run the bucket aggregation for the stats
         counts = counts.localCheckpoint(eager=True)
         stats = _truncation_agg(counts, cfg)
-    ok = counts.where(F.col("_n") <= DROP_CAP).select("band_id", "band_hash")
+    # _n >= 2: singleton buckets (97% of all buckets on web-scale corpora —
+    # measured at bench sf0.1) cannot emit a pair; pruning them HERE means
+    # the member join + window rank + collect_list see ~3% of the explode
+    # instead of all of it, and the ok side becomes small enough that AQE
+    # can broadcast it below the members exchange.
+    ok = counts.where(
+        (F.col("_n") >= 2) & (F.col("_n") <= DROP_CAP)
+    ).select("band_id", "band_hash")
     # same join key as the groupBy -> exchange reuse, no extra shuffle.
     # Members are rank-filtered to max_bucket_size BEFORE collect_list (a
     # window over the already-bucket-keyed rows), so no reducer row ever

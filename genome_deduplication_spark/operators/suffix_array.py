@@ -240,10 +240,13 @@ def pairs_from_anchor_rows(
         key_col = id_col
         keyed = anchors
 
+    # df >= 2: an anchor seen in one document cannot witness a shared
+    # substring — pruning singletons here (the overwhelming majority of
+    # anchors) keeps them out of the member join + collect_list entirely
     small = (
         keyed.groupBy("anchor")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_bucket_size)
+        .where((F.col("df") >= 2) & (F.col("df") <= max_bucket_size))
         .select("anchor")
     )
     members = (
