@@ -43,6 +43,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/sort_array aggs) silently falls
+        # back to SORT-based aggregation after only 128 distinct keys per
+        # task (upstream default) — i.e. every real partition pays a full
+        # sort, the exact operation this host's flat memory-bandwidth cap
+        # punishes at high parallelism (PLANS.md round 5). Every
+        # collect_list in this engine is pre-capped (rank filter or DROP
+        # cap before the aggregate), so per-key state is bounded and a
+        # 256k-key in-memory map is safe: typical ~50B/key, worst case
+        # (every bucket at max_bucket_size) ~200MB/task against multi-GB
+        # execution memory.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            str(256 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
