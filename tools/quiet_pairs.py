@@ -19,7 +19,11 @@ family as bench_scaling.py, but with the weather gate applied a priori
 canary first"), not post-hoc.
 
 Usage: python tools/quiet_pairs.py [--docs 640000] [--pairs 3]
-         [--quiet 19000] [--valid 16000] [--max-minutes 150]
+         [--quiet 15000] [--valid 13000] [--max-minutes 150]
+
+Gate defaults re-baselined in round-5 session 9: the host's quiet
+plateau shifted from 25-32k to ~15-20k iters/s mid-round; the old 19k
+launch gate stopped opening at all.
 """
 
 from __future__ import annotations
@@ -49,9 +53,9 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=3, help="valid pairs to collect")
-    ap.add_argument("--quiet", type=float, default=19000,
+    ap.add_argument("--quiet", type=float, default=15000,
                     help="launch gate: probe iters/s to start a pair")
-    ap.add_argument("--valid", type=float, default=16000,
+    ap.add_argument("--valid", type=float, default=13000,
                     help="validity gate: per-run ticker mean must exceed this")
     ap.add_argument("--max-minutes", type=float, default=150)
     ap.add_argument("--warm-docs", type=int, default=40000)
