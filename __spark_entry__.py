@@ -55,8 +55,62 @@ def _h31_duck(expr: str) -> str:
     return f"({_h60_duck(expr)} % {MERSENNE31})"
 
 
+# redistribution keys for the driver testdata tables (first-class entity
+# keys — unique or near-uniform, so a hash repartition spreads evenly)
+_READ_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # The driver testdata tables are single-file, single-row-group parquet:
+    # a row group cannot be split, so the scan is ONE task and every
+    # scan-side computation (normalize/md5/Arrow kernels) serializes onto
+    # one core regardless of cluster size (measured: 3.9-6.2 s single-task
+    # jobs at local[32], event-log profile OPTIMIZATION_r06.md). This is
+    # the optimization guide's "input skew: one huge unsplittable file —
+    # repartition immediately after the read" case (§2.5). Scale-adaptive:
+    # only fires when the file is too small to split into >= one split per
+    # core (at real scale the scan already yields >= cores splits and no
+    # exchange is added); the key is the table's entity id, deterministic
+    # (guide §2.5 warns off rand-derived keys) and aligned with the
+    # partition count so same-key downstream aggregates reuse the exchange.
+    try:
+        n_bytes = _os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            .rstrip("b")
+        )
+    except ValueError:  # suffixed forms like "128m": keep the default
+        max_split = 128 * 1024 * 1024
+    key = _READ_KEYS.get(name)
+    if key is not None and n_bytes < par * max_split:
+        # partition count derived from INPUT SIZE (guide §1/§2: derive
+        # from data, don't pin to the core count): ~64 KB of compressed
+        # parquet per partition keeps per-task compute large enough to
+        # amortize task overhead on small tables while still engaging
+        # every core once tables carry real data; capped at the core
+        # count. SPARK_GRAFT_READ_PAR overrides for experiments.
+        import os as _os2
+
+        override = _os2.environ.get("SPARK_GRAFT_READ_PAR")
+        if override:
+            n = int(override)
+        else:
+            n = max(2, min(par, n_bytes // (64 * 1024)))
+        df = df.repartition(n, F.col(key))
+    return df
 
 
 def _h31(col):
@@ -162,9 +216,13 @@ def q_masked_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("ord"), "tok")
-    firsts = toks.groupBy("doc_id", "tok").agg(F.min("ord").alias("f"))
+    # first occurrence via ONE window over (doc_id, tok) instead of the
+    # old groupBy + self-join (guide §2.4: two same-keyed exchanges + a
+    # join collapse into one exchange + sort; values identical — min(ord)
+    # over the same key)
+    wf = W.partitionBy("doc_id", "tok")
     masked = (
-        toks.join(firsts, ["doc_id", "tok"])
+        toks.withColumn("f", F.min("ord").over(wf))
         .where(F.col("ord") > F.col("f"))
         .select("doc_id", "ord")
     )
@@ -565,9 +623,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = base.unionByName(members)
+    # max_cell_size is pinned far above any driver scale factor so the
+    # planted truth stays cap-independent: with the default 4096 cap, a
+    # corpus over ~40k vectors could rank-truncate the planted members
+    # (ids 9M+, last in rank order) out of the pair comparisons while the
+    # DuckDB oracle still expects kept=false (ADVICE r5 #2).
     return semantic_dedup(
         corpus, k=SEM_N_ANCHORS, eps=SEM_EPS, n_iter=3,
-        id_col="vec_id", vec_col="v",
+        id_col="vec_id", vec_col="v", max_cell_size=1_000_000,
     ).select("vec_id", "rep_id", "kept")
 
 

@@ -91,9 +91,31 @@ def minhash_jaccard_estimate_vec(sig_a: pd.Series, sig_b: pd.Series) -> pd.Serie
     calls per pair."""
     if len(sig_a) == 0:
         return pd.Series([], dtype="float64")
-    ma = np.vstack(sig_a.to_numpy())
-    mb = np.vstack(sig_b.to_numpy())
-    return pd.Series((ma == mb).mean(axis=1))
+    a_np = sig_a.to_numpy()
+    b_np = sig_b.to_numpy()
+    # null signatures (possible through the public verify_pairs contract,
+    # ADVICE r5 #3): emit null for those rows instead of crashing the
+    # whole batch in np.vstack; the pipeline path never produces them
+    # (band_buckets filters null sigs), so the common case stays one
+    # vectorized equality over the full batch
+    valid = np.array(
+        [x is not None for x in a_np], dtype=bool
+    ) & np.array([x is not None for x in b_np], dtype=bool)
+    if valid.all():
+        ma = np.vstack(a_np)
+        mb = np.vstack(b_np)
+        return pd.Series((ma == mb).mean(axis=1))
+    out = np.full(len(a_np), np.nan)
+    if valid.any():
+        ma = np.vstack(a_np[valid])
+        mb = np.vstack(b_np[valid])
+        out[valid] = (ma == mb).mean(axis=1)
+    # true SQL NULL (not NaN) for the masked rows, matching the old
+    # zip_with/aggregate expression's per-row null
+    return pd.Series(
+        [None if not v else float(x) for v, x in zip(valid, out)],
+        dtype="object",
+    )
 
 
 def minhash_agg_exprs_spark(cfg: DedupConfig, shingle_col: str) -> list[str]:

@@ -67,6 +67,12 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
                     restrict_to: DataFrame | None = None):
     """Distinct candidate (id_a < id_b) pairs from shared band buckets.
 
+    Precondition: one signature row per id. With duplicate ids the
+    compact-key join-back multiplies rows and the returned pair set is no
+    longer distinct (ADVICE r5 #4 — documented rather than paying a
+    .distinct() shuffle on the idmap; every in-repo caller passes
+    one-row-per-url frames).
+
     Emits a *star* within each (capped) bucket: every member pairs with the
     bucket's minimum member, plus the full clique for buckets up to a small
     clique budget. The star keeps edge count linear in bucket size (vs.

@@ -138,13 +138,35 @@ def stratified_sample_exact(
         return dfu.withColumn("_rk", F.lit(1)).where(F.lit(False)).drop("_u")
     factor = 8.0
     while True:
-        thr = spark.createDataFrame(
-            [(*s, min(1.0, factor * n_per / cnt)) for s, cnt in counts.items()],
-            [*strata_cols, "_thr"],
-        )
-        sel = dfu.join(F.broadcast(thr), strata_cols).where(
-            F.col("_u") <= F.col("_thr")
-        )
+        # Threshold lookup. For bounded strata counts the thresholds are
+        # embedded as a literal MAP expression — zero extra jobs, no
+        # createDataFrame round-trip, no join (the driver-side
+        # createDataFrame + broadcast-join pair cost two plan subtrees and
+        # a broadcast exchange per attempt; the map lookup is a row-local
+        # projection). Very-high-cardinality strata fall back to the
+        # broadcast join (a giant literal map would bloat the plan).
+        if len(counts) <= 4096:
+            sep = "\x00"  # never occurs in real stratum values
+            entries = []
+            for s, cnt in counts.items():
+                entries.append(F.lit(sep.join(str(v) for v in s)))
+                entries.append(F.lit(min(1.0, factor * n_per / cnt)))
+            thr_map = F.create_map(*entries)
+            key = F.concat_ws(
+                sep, *[F.col(c).cast("string") for c in strata_cols]
+            )
+            nn = F.lit(True)
+            for c in strata_cols:  # join semantics: NULL strata excluded
+                nn = nn & F.col(c).isNotNull()
+            sel = dfu.where(nn & (F.col("_u") <= thr_map[key]))
+        else:
+            thr = spark.createDataFrame(
+                [(*s, min(1.0, factor * n_per / cnt)) for s, cnt in counts.items()],
+                [*strata_cols, "_thr"],
+            )
+            sel = dfu.join(F.broadcast(thr), strata_cols).where(
+                F.col("_u") <= F.col("_thr")
+            ).drop("_thr")
         w = Window.partitionBy(*strata_cols).orderBy("_u", key_col)
         picked = sel.withColumn("_rk", F.row_number().over(w)).where(
             F.col("_rk") <= n_per

@@ -270,6 +270,11 @@ def pairs_from_anchor_rows(
     pairs = (
         members.select(F.explode(clique).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        # duplicate (id, anchor) input rows (allowed by the public
+        # contract) repeat a key inside the sorted member array, which
+        # would emit self-pairs — filter them (ADVICE r5 #1); row-local,
+        # runs before the aggregate so it costs nothing measurable
+        .where(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
         .where(F.col("n_shared_anchors") >= min_shared_anchors)
