@@ -99,7 +99,21 @@ def connected_components(
     # Eager localCheckpoint is one extra tiny job per round but makes each
     # round's input genuinely persisted, which is what the O(log n)-rounds
     # cost model assumes.
-    prev_fp = None
+    # Round-6 additions to the eager-localCheckpoint loop (the loop body
+    # itself is unchanged — persist()-based variants were measured 8-20x
+    # slower here; plan-level caches were not reliably reused across the
+    # round closures, recomputing the full verify/substring lineage):
+    #  * the INITIAL edge set is checkpointed too: round 1's large-star
+    #    references its input twice (the und union), and without a cut
+    #    that input is the whole verify/LSH (+ substring LCS) lineage —
+    #    at the 40k bench that materialized the heaviest upstream stage
+    #    more than once;
+    #  * its fingerprint seeds prev_fp, so an edge set that is already a
+    #    fixed point of small∘large — every pure pair/star graph, i.e.
+    #    typical near-dup groups — converges after ONE round instead of
+    #    needing a second full round to notice (fp(round1) == fp(cur0)).
+    cur = cur.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)

@@ -104,6 +104,35 @@ def main() -> None:
     print(
         f"TOTAL job {total_job:.1f}s  gap(driver/planning) {total_gap:.1f}s"
     )
+    if "--by-desc" in sys.argv:
+        # rollup: wall span (first start -> last end), job time and task
+        # time per job-description label; gaps INSIDE a label's span are
+        # that label's driver/planning time
+        by: dict[str, dict] = {}
+        for jid in sorted(jobs):
+            j = jobs[jid]
+            d = j["desc"] or "(unlabeled)"
+            end = j.get("end", j["start"])
+            task_s = (
+                sum(sum(stage_tasks.get(s, [])) for s in j["stages"]) / 1000.0
+            )
+            b = by.setdefault(
+                d, {"n": 0, "dur": 0.0, "task": 0.0, "first": j["start"],
+                    "last": end}
+            )
+            b["n"] += 1
+            b["dur"] += (end - j["start"]) / 1000.0
+            b["task"] += task_s
+            b["first"] = min(b["first"], j["start"])
+            b["last"] = max(b["last"], end)
+        print(f"{'label':44s} {'jobs':>4} {'span':>8} {'jobdur':>8} "
+              f"{'task-s':>8}")
+        for d, b in sorted(by.items(), key=lambda kv: kv[1]["first"]):
+            span = (b["last"] - b["first"]) / 1000.0
+            print(
+                f"{d[:44]:44s} {b['n']:4d} {span:8.2f} {b['dur']:8.2f} "
+                f"{b['task']:8.2f}"
+            )
 
 
 if __name__ == "__main__":
