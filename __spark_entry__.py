@@ -60,8 +60,10 @@ def _h31_duck(expr: str) -> str:
 _READ_KEYS = {
     "documents": "doc_id",
     "embeddings": "vec_id",
-    "lineitem": "l_orderkey",
-    "events": "event_id",
+    # the keys the heavy consumers aggregate/window on, so the exchange
+    # can satisfy a downstream required distribution instead of adding one
+    "lineitem": "l_suppkey",
+    "events": "user_id",
 }
 
 
@@ -153,7 +155,13 @@ def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(char_shingles_poly(normalize_text(F.col("text")))).alias("h"),
         # eager: reused by the DF filter and both join sides; a lazy mark is
         # not persisted under AQE (PLANS.md round 4) and recomputed the
-        # Arrow shingle kernel three times
+        # Arrow shingle kernel three times. A round-6 rewrite to the
+        # grouped-member-array shape (count-guarded collect_list, the
+        # lsh.py pattern) measured 14.5s vs 8.5s for this plan in the
+        # same host window — the mostly-singleton posting lists make
+        # per-key array buffers more expensive than the broadcast-joined
+        # inverted-index self-join at every tested scale — so the
+        # self-join shape is kept deliberately (OPTIMIZATION_r06.md).
     ).localCheckpoint(eager=True)
     rare = (
         sh_all.groupBy("h")
