@@ -727,7 +727,11 @@ def q_substring_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     120-gram join over the identically reconstructed corpus in DuckDB."""
     from genome_deduplication_spark.plans.pipeline import dedup_pipeline
 
-    pages = _sub_planted_pages(spark, sf_dir)
+    # the planted corpus is <= 2*_SUB_N = 80 rows by construction — one
+    # partition keeps every pipeline stage at one task instead of paying
+    # 9-32 tasks of scheduling/sync per materialization (partitioning
+    # derived from known data size, guide §1.2/§2)
+    pages = _sub_planted_pages(spark, sf_dir).coalesce(1)
     tables = dedup_pipeline(pages, CFG, run_dir=None, enable_substring_pass=True)
     return (
         tables["clusters"]
