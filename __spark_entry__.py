@@ -1080,7 +1080,11 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference analogue: the gap/length distribution stats, A6]: Spark's
     exact `percentile` vs DuckDB `quantile_cont` — same (n-1)*p linear
     interpolation definition; rounded to 4 places so a last-ulp
-    difference in the interpolation arithmetic cannot flip the hash."""
+    difference in the interpolation arithmetic cannot flip the hash.
+    Scale note (VERDICT r5 #7): exact `percentile` is a sort-heavy
+    aggregate; at 100 TB use `approx_percentile` — exact is kept here
+    because the oracle contract requires interpolation parity with
+    DuckDB `quantile_cont`."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1119,11 +1123,18 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clusters.groupBy("cluster_key").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return clusters.join(sizes, "cluster_key").select(
+    out = clusters.join(sizes, "cluster_key").select(
         F.col("url").cast("bigint").alias("doc_id"),
         F.col("cluster_key").cast("bigint").alias("cluster_id"),
         "cluster_size",
     )
+    # materialize before deleting the state dir (the lazy plan reads the
+    # state parquet): fixes the per-run /tmp litter (VERDICT r5 #6)
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(state, ignore_errors=True)
+    return out
 
 
 def _planted_url_pages(docs: DataFrame) -> DataFrame:
