@@ -193,7 +193,12 @@ def dedup_pipeline(
             .select("id_a", "id_b")
         )
 
-    exact_edges = stage("exact_edges", _exact_edges)
+    # exact_edges is multi-consumer only when the substring pass (known-
+    # pairs anti-join) or a recording run context reads it besides the
+    # final edge union; otherwise the eager cut is a pure barrier + job
+    # with no reuse to pay for it (r6 event-log profile).
+    exact_edges_reused = enable_substring_pass or ctx is not None
+    exact_edges = None  # materialized below, overlapped when possible
 
     def _reps():
         # exact-group representatives: one signature per content hash, so a
@@ -240,7 +245,26 @@ def dedup_pipeline(
         # pairs already known exact dups need no subtraction: reps are
         # one-per-content-hash, so same-hash pairs cannot appear
 
-    lsh_pairs = stage("lsh_pairs", _lsh_pairs, reused=False)
+    # exact_edges and the reps/LSH chain are independent given the
+    # signatures checkpoint — materialize them concurrently (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially; the second job's tasks back-fill executors freed by
+    # the first job's tail, and its Catalyst/AQE planning overlaps the
+    # first job's execution). Restricted to ctx=None runs: RunContext's
+    # manifest bookkeeping is not audited for concurrent writers.
+    if ctx is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_exact = _pool.submit(
+                stage, "exact_edges", _exact_edges, exact_edges_reused
+            )
+            _f_lsh = _pool.submit(stage, "lsh_pairs", _lsh_pairs, False)
+            exact_edges = _f_exact.result()
+            lsh_pairs = _f_lsh.result()
+    else:
+        exact_edges = stage("exact_edges", _exact_edges, exact_edges_reused)
+        lsh_pairs = stage("lsh_pairs", _lsh_pairs, reused=False)
 
     if ctx is not None and "lsh_pairs" not in resumed:
         trunc = trunc_holder["stats"].collect()[0].asDict()
@@ -260,7 +284,42 @@ def dedup_pipeline(
     def _verified():
         return verify_pairs(lsh_pairs, signatures, cfg, id_col="url")
 
-    verified = stage("verified", _verified)
+    def _substr_cand():
+        # candidates = anchor-shingle collisions (winnowing index — how a
+        # shared-substring pair is *found* without whole-doc similarity).
+        # Anchors were computed in the same Arrow pass as the signatures —
+        # no text re-hash here. Depends ONLY on the signatures checkpoint,
+        # so it can materialize concurrently with the verify stage.
+        anchor_rows = signatures.select(
+            "url", F.explode("anchors").alias("anchor")
+        )
+        return pairs_from_anchor_rows(
+            anchor_rows,
+            max_bucket_size=cfg.anchor_df_cap,
+            min_shared_anchors=cfg.min_shared_anchors,
+            id_col="url",
+        )
+
+    substr_cand = None
+    if ctx is None and enable_substring_pass:
+        # overlap the two independent subtrees (guide §2.6, same pattern
+        # as the exact_edges/lsh pair above): the anchor-bucket candidate
+        # machinery back-fills executors while the verify stage's jobs
+        # run, and the substring stage below consumes the materialized
+        # candidate set instead of re-deriving it inside its lazy plan.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_ver = _pool.submit(stage, "verified", _verified, True)
+            _f_cand = _pool.submit(
+                described,
+                "substr_cand",
+                lambda: _substr_cand().localCheckpoint(eager=True),
+            )
+            verified = _f_ver.result()
+            substr_cand = _f_cand.result()
+    else:
+        verified = stage("verified", _verified)
     dup_edges = verified.where("is_dup").select("id_a", "id_b")
     metrics(
         "verify",
@@ -272,20 +331,9 @@ def dedup_pipeline(
     # -- 5 substring pass ---------------------------------------------------------
     if enable_substring_pass:
         def _substr():
-            # candidates = anchor-shingle collisions (winnowing index — how a
-            # shared-substring pair is *found* without whole-doc similarity),
-            # minus pairs already confirmed dups, run through the
-            # suffix-array LCS kernel. Anchors were computed in the same
-            # Arrow pass as the signatures — no text re-hash here.
-            anchor_rows = signatures.select(
-                "url", F.explode("anchors").alias("anchor")
-            )
-            cand = pairs_from_anchor_rows(
-                anchor_rows,
-                max_bucket_size=cfg.anchor_df_cap,
-                min_shared_anchors=cfg.min_shared_anchors,
-                id_col="url",
-            )
+            # candidate pairs minus pairs already confirmed dups, run
+            # through the suffix-array LCS kernel
+            cand = substr_cand if substr_cand is not None else _substr_cand()
             known = exact_edges.union(dup_edges)
             todo = cand.join(known, ["id_a", "id_b"], "left_anti")
             return exact_substring_pairs(
