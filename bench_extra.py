@@ -115,8 +115,64 @@ def main() -> None:
             )
         sc.setJobDescription(None)
 
-    print(json.dumps({"queries": timings, "app_id": sc.applicationId}))
+    out: dict = {"queries": timings, "app_id": sc.applicationId}
+
+    if os.environ.get("BENCH_EXTRA_SKEW", "0") == "1":
+        out["lsh_skew_stress"] = _skew_stress(spark)
+
+    print(json.dumps(out))
     spark.stop()
+
+
+def _skew_stress(spark, n_docs: int = 40000, hot_mod: int = 10):
+    """Adversarial LSH skew stress (VERDICT r5 #4 / guide §2.5): plant a
+    boilerplate band shared by 1/hot_mod of the corpus — one band bucket
+    with n_docs/hot_mod members — and drive candidate_pairs with stats.
+    Pass criteria reported: wall bounded, the cap machinery fires
+    (buckets_capped >= 1), and the hot bucket emits O(cap) star pairs
+    instead of the ~m^2/2 clique a naive bucket-join would produce."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from genome_deduplication_spark.config import DedupConfig
+    from genome_deduplication_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupConfig()
+    r = cfg.rows_per_band
+    hot = F.pmod(F.col("id"), F.lit(hot_mod)) == 0
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.num_perm - 1)),
+        lambda j: F.when(hot & (j < r), j + 7)
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), j), F.lit(2**31 - 1)))
+        .cast("int"),
+    )
+    sigs = (
+        spark.range(n_docs)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            vals.alias("minhash"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    spark.sparkContext.setJobDescription("skew-stress: candidate_pairs")
+    t0 = _t.time()
+    pairs, stats = candidate_pairs(sigs, cfg, with_stats=True)
+    n_pairs = pairs.count()
+    wall = round(_t.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+    st = stats.collect()[0].asDict()
+    m_hot = n_docs // hot_mod
+    return {
+        "n_docs": n_docs,
+        "hot_bucket_members": m_hot,
+        "naive_clique_pairs_hot_bucket": m_hot * (m_hot - 1) // 2,
+        "max_bucket_size_cap": cfg.max_bucket_size,
+        "wall_sec": wall,
+        "n_candidate_pairs": n_pairs,
+        **{k: int(v or 0) for k, v in st.items()},
+    }
 
 
 if __name__ == "__main__":
