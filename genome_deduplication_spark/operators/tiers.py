@@ -31,7 +31,7 @@ from ..config import DedupConfig
 from ..functions.signatures import make_doc_signature_udf
 from ..functions.text import normalize_text
 from ..functions.urls import canonicalize_url
-from .connected_components import components_for_string_ids
+from .connected_components import connected_components
 from .lsh import candidate_pairs
 from .verify import dup_edges, verify_pairs
 
@@ -124,10 +124,21 @@ def tier_dedup_report(
     # no exact short-circuit stage is needed here
     eligible = F.length("s") >= F.lit(cfg.shingle_k)  # NULL-safe: NULL -> filtered
     sig_udf = make_doc_signature_udf(cfg)
+    # NUMERIC ids end to end (r6): the tier report's ids are int64, so
+    # the near stack runs on them directly — candidate_pairs skips its
+    # hash128 compact-key mapping + two join-backs (a bigint id IS the
+    # fixed-width shuffle key, with zero collision risk at any scale),
+    # and connected_components runs on int64 nodes, where the component
+    # label it returns (min node id) IS the numeric-min representative —
+    # eliminating the md5 node map (3 references), the min-string
+    # election (groupBy + join), AND the tier's own n_rep election
+    # (another groupBy + join) from the old components_for_string_ids
+    # path. Output values are identical: rep = min(doc_id) of the
+    # component either way.
     sigs = (
         surv2.where(eligible)
         .select(
-            F.col("doc_id").cast("string").alias("url"),
+            F.col("doc_id").alias("url"),
             sig_udf(F.col("s")).alias("sig"),
         )
         .select(
@@ -141,11 +152,15 @@ def tier_dedup_report(
     )
     pairs = candidate_pairs(sigs, cfg)
     edges = dup_edges(verify_pairs(pairs, sigs, cfg))
-    memb = components_for_string_ids(edges, sigs.select("url")).select(
-        F.col("url").cast("bigint").alias("doc_id"), "cluster_key"
+    comp = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    n_rep = memb.groupBy("cluster_key").agg(F.min("doc_id").alias("rep"))
-    t3 = memb.join(n_rep, "cluster_key").select("doc_id", "rep")
+    universe = sigs.select(F.col("url").alias("doc_id"))
+    t3 = universe.join(
+        comp, universe["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
     near_removed = t3.where(F.col("doc_id") != F.col("rep")).select(
         "doc_id", F.lit("near").alias("tier"), F.col("rep").alias("kept_by")
     )
